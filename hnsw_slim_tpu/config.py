@@ -1,0 +1,127 @@
+"""Global configuration for the TPU-native HNSW-Slim engine.
+
+Mirrors the reference's mutable globals and gflags-derived parameters
+(reference: include/core.h:30-38, main.cc:46-110) as immutable dataclasses.
+
+Derived-parameter convention (reference main.cc:58-70):
+    low_m0 = top_M0 * Mm_ratio / 100
+    top_M  = level_ratio/100 * top_M0
+    low_m  = level_ratio/100 * low_m0
+
+`branching_factor` is a string: "e", "sqrt", or a number; it controls the
+level-sampling probability via mult_ = 1/log(bf) (reference hnswalg.h:143-158).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+def branching_mult(branching_factor: str) -> float:
+    """mult_ used for geometric level sampling (reference hnswalg.h:143-158)."""
+    if branching_factor == "e":
+        return 1.0 / math.log(math.e)
+    if branching_factor == "sqrt":
+        return 1.0 / math.log(math.sqrt(2.0) / (math.sqrt(2.0) - 1.0))
+    return 1.0 / math.log(float(branching_factor))
+
+
+@dataclasses.dataclass(frozen=True)
+class HnswConfig:
+    """Parameters of the vanilla HNSW build (reference hnswalg.h ctor + main.cc flags)."""
+
+    M: int = 30
+    M0: int = 0  # 0 -> defaults to 2*M (reference hnswalg.h maxM0_ = M * 2)
+    ef_construction: int = 128
+    ef_search: int = 128
+    branching_factor: str = "32"  # paper default p = 1/32 (BASELINE.md)
+    metric: str = "l2"  # "l2" (squared L2) or "ip" (1 - dot)
+    seed: int = 100  # reference hnswalg.h random_seed default 100
+
+    @property
+    def maxM(self) -> int:
+        return self.M
+
+    @property
+    def maxM0(self) -> int:
+        return self.M0 if self.M0 > 0 else 2 * self.M
+
+    @property
+    def mult(self) -> float:
+        return branching_mult(self.branching_factor)
+
+
+@dataclasses.dataclass(frozen=True)
+class SlimConfig:
+    """Two-stage pruning parameters (reference main.cc:27-39,58-70; paper §7.1.3).
+
+    top_degree_percent0/percent = alpha: fraction of highest-degree nodes that
+    keep the large budget (degree threshold walk, hnswalg_slim.h:923-945).
+    """
+
+    threshold_level: int = 0
+    top_degree_percent0: float = 0.02
+    top_degree_percent: float = 0.02
+    top_M0: int = 32
+    low_m0: int = 8
+    top_M: int = 16
+    low_m: int = 4
+    # SlimZero only (reference main.cc:37-38, hnswalg_slimzero.h)
+    min_indegree0: int = 8
+    min_indegree: int = 4
+
+    @classmethod
+    def from_ratios(
+        cls,
+        top_M0: int = 32,
+        level_ratio: int = 50,
+        Mm_ratio: int = 25,
+        top_degree_percent0: float = 0.02,
+        threshold_level: int = 0,
+        **kw,
+    ) -> "SlimConfig":
+        """Reference main.cc:58-70 derivation."""
+        ratio = level_ratio / 100.0
+        low_m0 = top_M0 * Mm_ratio // 100
+        return cls(
+            threshold_level=threshold_level,
+            top_degree_percent0=top_degree_percent0,
+            top_degree_percent=top_degree_percent0,
+            top_M0=top_M0,
+            low_m0=low_m0,
+            top_M=int(ratio * top_M0),
+            low_m=int(ratio * low_m0),
+            **kw,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchConfig:
+    """Runtime search knobs for the batched device search kernels."""
+
+    ef: int = 128
+    # Static iteration cap for the best-first while_loop; each iteration pops
+    # exactly one node per query. The reference pops until its candidate set is
+    # empty; a few*ef is a generous equivalent bound.
+    max_iters: int = 0  # 0 -> auto: 4*ef + 32
+    # Direct-mapped per-query visited-table size (replaces the reference's
+    # epoch-tagged VisitedList, visited_list_pool.h:8-78). Collisions only cost
+    # recomputation, never correctness.
+    visited_slots: int = 1024
+
+    def iters(self) -> int:
+        return self.max_iters if self.max_iters > 0 else 4 * self.ef + 32
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """RaBitQ parameters (reference hnsw_slimq_strategy.h:42-60, rabitqlib)."""
+
+    total_bits: int = 4  # 1 sign bit + (total_bits-1) ex bits per dim
+    num_clusters: int = 16  # KMeans-16 centroids (hnsw_slimq_strategy.h:44-45)
+    kmeans_iters: int = 25
+
+    @property
+    def ex_bits(self) -> int:
+        return self.total_bits - 1
