@@ -1,0 +1,101 @@
+"""Vectorized relative-neighborhood (RNG) heuristic pruning.
+
+Port of getNeighborsByHeuristic2 (reference hnswalg.h:481-523) and
+PruneByHeuristic (hnswalg_slim.h:836-865): walk candidates in ascending
+distance order; keep a candidate iff no already-kept neighbor is closer to it
+than the base point is. On TPU this is a vmapped O(C²) pairwise-distance
+matmul + a fori_loop over sorted positions, batched over thousands of nodes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import distance
+
+INF = jnp.float32(jnp.inf)
+
+
+def _prune_one(cand_d, pd, valid, M: int, keep_all_under_m: bool):
+    """Single-node prune. cand_d f32[C], pd f32[C, C] pairwise candidate
+    distances, valid bool[C]. Returns kept bool[C] and kept count."""
+    c = cand_d.shape[0]
+    masked_d = jnp.where(valid, cand_d, INF)
+    order = jnp.argsort(masked_d)
+
+    def body(i, carry):
+        kept, cnt = carry
+        ci = order[i]
+        di = cand_d[ci]
+        # reference: reject if any kept neighbor is closer to ci than base
+        conflict = jnp.any(kept & (pd[:, ci] < di))
+        good = valid[ci] & (cnt < M) & ~conflict
+        kept = kept.at[ci].set(kept[ci] | good)
+        return kept, cnt + good.astype(jnp.int32)
+
+    kept, cnt = lax.fori_loop(0, c, body, (jnp.zeros((c,), bool), jnp.int32(0)))
+    if keep_all_under_m:
+        # getNeighborsByHeuristic2 early-out: fewer than M candidates -> keep all
+        nvalid = jnp.sum(valid.astype(jnp.int32))
+        under = nvalid < M
+        kept = jnp.where(under, valid, kept)
+        cnt = jnp.where(under, nvalid, cnt)
+    return kept, cnt
+
+
+@functools.partial(
+    jax.jit, static_argnames=("M", "keep_all_under_m", "metric", "out_width")
+)
+def prune_batch(
+    vectors: jnp.ndarray,
+    vn: jnp.ndarray,
+    base_ids: jnp.ndarray,  # i32[B]
+    cand_ids: jnp.ndarray,  # i32[B, C]
+    valid: jnp.ndarray,  # bool[B, C]
+    *,
+    M: int,
+    keep_all_under_m: bool,
+    metric: str = "l2",
+    out_width: int = 0,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Heuristic-prune candidate lists for a batch of base nodes.
+
+    Distances are recomputed on device (one [B,C,d] gather + einsum for
+    base→cand, one [B,C,C] matmul for cand pairwise). Returns
+    sel_ids i32[B, W] in ascending distance order, -1 padded
+    (W = out_width or M).
+    """
+    w = out_width or M
+    safe = jnp.maximum(cand_ids, 0)
+    cvecs = vectors[safe].astype(jnp.float32)  # [B, C, d]
+    cn = vn[safe]
+    bvec = vectors[base_ids].astype(jnp.float32)  # [B, d]
+    bn = vn[base_ids]
+    cand_d = distance.gathered_dist(
+        bvec, cvecs, metric, qn=bn, vn=cn, precision=precision
+    )
+    dots = jnp.einsum(
+        "bcd,bed->bce", cvecs, cvecs, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    if metric == "ip":
+        pd = 1.0 - dots
+    else:
+        pd = cn[:, :, None] + cn[:, None, :] - 2.0 * dots
+
+    valid = valid & (cand_ids >= 0) & (cand_ids != base_ids[:, None])
+    kept, cnt = jax.vmap(
+        lambda d, p, v: _prune_one(d, p, v, M, keep_all_under_m)
+    )(cand_d, pd, valid)
+
+    key = jnp.where(kept, cand_d, INF)
+    order = jnp.argsort(key, axis=1)[:, :w]
+    sel = jnp.take_along_axis(cand_ids, order, axis=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1)
+    sel = jnp.where(pos < cnt[:, None], sel, -1)
+    return sel, cnt

@@ -1,0 +1,304 @@
+"""Batched best-first graph search — the engine's hottest path, TPU-first.
+
+Reference: the sequential heap loops searchBaseLayerST (hnswalg_slim.h:320-457)
+and the greedy upper-level descent (hnswalg_slim.h:2040-2078). Here the whole
+query batch advances in lockstep inside `lax.while_loop`s:
+
+* greedy descent: every query holds one current node; one masked neighbor
+  gather + one fused distance matmul per step; per-query done masks.
+* beam search: every query holds a SORTED top-ef buffer (ids, dists, checked
+  bits) — the array-based SearchBuffer the reference itself adopted for SlimQ
+  (hnswalg_slimq.h:80-151) — plus a direct-mapped visited table replacing the
+  epoch VisitedList (visited_list_pool.h:8-78). Each iteration pops the best
+  unchecked entry per query, gathers its ≤W neighbors, scores them with one
+  [B, W, d] einsum, and merges via top_k. Collisions in the visited table only
+  cost recomputation; dedup against the buffer keeps results exact.
+
+Termination matches the reference exactly: a query stops when its best
+unchecked candidate is farther than the worst of its full top-ef buffer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import distance
+
+INF = jnp.float32(jnp.inf)
+
+
+def make_chal_fetch(nbr: jnp.ndarray, lvl_off: jnp.ndarray, l: int, width: int):
+    """Neighbor fetch for a ChalGraph level: ids i32[B, width], -1 padded."""
+
+    def fetch(v: jnp.ndarray) -> jnp.ndarray:
+        start = lvl_off[v, l]
+        end = lvl_off[v, l + 1]
+        idx = start[:, None] + jax.lax.broadcasted_iota(
+            jnp.int32, (v.shape[0], width), 1
+        )
+        valid = idx < end[:, None]
+        ids = nbr[jnp.clip(idx, 0, nbr.shape[0] - 1)]
+        return jnp.where(valid, ids, -1)
+
+    return fetch
+
+
+def make_dense_fetch(adj_l: jnp.ndarray):
+    """Neighbor fetch for a LevelGraph level (dense padded rows)."""
+
+    def fetch(v: jnp.ndarray) -> jnp.ndarray:
+        return adj_l[v]
+
+    return fetch
+
+
+def _take(x: jnp.ndarray, sel: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take_along_axis(x, sel[:, None], axis=1)[:, 0]
+
+
+def greedy_level(
+    fetch: Callable,
+    vectors: jnp.ndarray,
+    vn: jnp.ndarray,
+    q: jnp.ndarray,
+    qn: jnp.ndarray,
+    cur: jnp.ndarray,
+    curdist: jnp.ndarray,
+    active: jnp.ndarray,
+    metric: str,
+    precision,
+):
+    """One level of greedy descent (hnswalg_slim.h:2040-2078): move to the
+    closest neighbor until no improvement. Queries with active=False hold."""
+
+    def cond(state):
+        _, _, changed = state
+        return jnp.any(changed)
+
+    def body(state):
+        cur, curdist, changed = state
+        ids = fetch(cur)
+        valid = (ids >= 0) & changed[:, None]
+        safe = jnp.maximum(ids, 0)
+        d = distance.gathered_dist(
+            q, vectors[safe], metric, qn=qn, vn=vn[safe], precision=precision
+        )
+        d = jnp.where(valid, d, INF)
+        j = jnp.argmin(d, axis=1)
+        dmin = _take(d, j)
+        better = dmin < curdist
+        cur = jnp.where(better, _take(ids, j), cur)
+        curdist = jnp.where(better, dmin, curdist)
+        return cur, curdist, changed & better
+
+    cur, curdist, _ = lax.while_loop(cond, body, (cur, curdist, active))
+    return cur, curdist
+
+
+class BeamState(NamedTuple):
+    buf_d: jnp.ndarray  # f32[B, EF] sorted ascending, inf padded
+    buf_id: jnp.ndarray  # i32[B, EF], -1 padded
+    buf_chk: jnp.ndarray  # bool[B, EF] expanded?
+    vis: jnp.ndarray  # i32[B, V] direct-mapped visited table
+
+
+def beam_init(
+    seed_id: jnp.ndarray,
+    seed_d: jnp.ndarray,
+    ef: int,
+    visited_slots: int,
+) -> BeamState:
+    """Buffer seeded with one entry per query (hnswalg_slim.h:2101-2106)."""
+    b = seed_id.shape[0]
+    buf_d = jnp.full((b, ef), INF).at[:, 0].set(seed_d)
+    buf_id = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(seed_id)
+    buf_chk = jnp.zeros((b, ef), bool)
+    vis = jnp.full((b, visited_slots), -1, jnp.int32)
+    vis = vis.at[jnp.arange(b), seed_id % visited_slots].set(seed_id)
+    return BeamState(buf_d, buf_id, buf_chk, vis)
+
+
+def beam_reseed(state: BeamState, seed_id: jnp.ndarray, seed_d: jnp.ndarray, active):
+    """Replace the buffer rows of `active` queries with a fresh single seed
+    (used when a build query transitions from greedy descent to beam)."""
+    b = seed_id.shape[0]
+    ef = state.buf_d.shape[1]
+    new_d = jnp.full((b, ef), INF).at[:, 0].set(seed_d)
+    new_id = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(seed_id)
+    vis_seeded = state.vis.at[
+        jnp.arange(b), seed_id % state.vis.shape[1]
+    ].set(seed_id)
+    return BeamState(
+        jnp.where(active[:, None], new_d, state.buf_d),
+        jnp.where(active[:, None], new_id, state.buf_id),
+        jnp.where(active[:, None], False, state.buf_chk),
+        jnp.where(active[:, None], vis_seeded, state.vis),
+    )
+
+
+def beam_level(
+    fetch: Callable,
+    vectors: jnp.ndarray,
+    vn: jnp.ndarray,
+    q: jnp.ndarray,
+    qn: jnp.ndarray,
+    state: BeamState,
+    active: jnp.ndarray,
+    ef: int,
+    max_iters: int,
+    metric: str,
+    precision,
+) -> BeamState:
+    """Best-first beam search at one level for the whole batch.
+
+    Equivalent of searchBaseLayerST (hnswalg_slim.h:320-457): pop best
+    unchecked, expand neighbors, merge into top-ef, stop when the best
+    unchecked candidate exceeds the worst buffered distance.
+    """
+    b = q.shape[0]
+    rows = jnp.arange(b)
+    vslots = state.vis.shape[1]
+
+    def cond(carry):
+        st, done, iters = carry
+        return jnp.any(~done) & (iters < max_iters)
+
+    def body(carry):
+        st, done, iters = carry
+        buf_d, buf_id, buf_chk, vis = st
+        unchk = (~buf_chk) & (buf_id >= 0)
+        has = jnp.any(unchk, axis=1)
+        sel = jnp.argmax(unchk, axis=1)  # first unchecked = closest (sorted)
+        sel_d = _take(buf_d, sel)
+        bound = buf_d[:, ef - 1]  # inf while not full
+        qdone = done | ~has | (sel_d > bound)
+
+        vsel = jnp.where(qdone, 0, _take(buf_id, sel))
+        buf_chk = buf_chk.at[rows, sel].set(jnp.where(qdone, _take(buf_chk, sel), True))
+
+        ids = fetch(vsel)  # [B, W]
+        valid = (ids >= 0) & ~qdone[:, None]
+        safe = jnp.maximum(ids, 0)
+        # dedup against current buffer + visited table
+        dup = jnp.any(ids[:, :, None] == buf_id[:, None, :], axis=2)
+        slot = safe % vslots
+        seen = jnp.take_along_axis(vis, slot, axis=1) == ids
+        cand = valid & ~dup & ~seen
+
+        d = distance.gathered_dist(
+            q, vectors[safe], metric, qn=qn, vn=vn[safe], precision=precision
+        )
+        d = jnp.where(cand, d, INF)
+
+        # mark every scanned neighbor visited (hnswlib marks on scan, not pop)
+        old_vals = jnp.take_along_axis(vis, slot, axis=1)
+        vis = vis.at[rows[:, None], slot].set(jnp.where(valid, ids, old_vals))
+
+        # merge: [B, EF+W] -> sorted top-EF
+        cat_d = jnp.concatenate([buf_d, d], axis=1)
+        cat_i = jnp.concatenate([buf_id, jnp.where(cand, ids, -1)], axis=1)
+        cat_c = jnp.concatenate([buf_chk, jnp.zeros_like(d, bool)], axis=1)
+        neg, arg = lax.top_k(-cat_d, ef)
+        buf_d = -neg
+        buf_id = jnp.take_along_axis(cat_i, arg, axis=1)
+        buf_chk = jnp.take_along_axis(cat_c, arg, axis=1)
+
+        return BeamState(buf_d, buf_id, buf_chk, vis), qdone, iters + 1
+
+    out, _, _ = lax.while_loop(cond, body, (state, ~active, jnp.int32(0)))
+    return out
+
+
+def level_search(
+    adjs: tuple,
+    entry: jnp.ndarray,
+    vectors: jnp.ndarray,
+    vn: jnp.ndarray,
+    q: jnp.ndarray,
+    *,
+    max_level: int,
+    ef: int,
+    k: int,
+    max_iters: int,
+    visited_slots: int,
+    metric: str,
+    precision,
+):
+    """Vanilla HNSW query path (hnswalg.h searchKnn :1378-1440): greedy
+    descent max_level..1, beam (ef) at the base layer."""
+    b = q.shape[0]
+    qn = distance.sq_norms(q)
+    cur = jnp.broadcast_to(entry.astype(jnp.int32), (b,))
+    curdist = distance.gathered_dist(
+        q, vectors[cur][:, None, :], metric, qn=qn, vn=vn[cur][:, None],
+        precision=precision,
+    )[:, 0]
+    always = jnp.ones((b,), bool)
+    for l in range(max_level, 0, -1):
+        cur, curdist = greedy_level(
+            make_dense_fetch(adjs[l]), vectors, vn, q, qn, cur, curdist,
+            always, metric, precision,
+        )
+    state = beam_init(cur, curdist, ef, visited_slots)
+    state = beam_level(
+        make_dense_fetch(adjs[0]), vectors, vn, q, qn, state, always, ef,
+        max_iters, metric, precision,
+    )
+    return state.buf_d[:, :k], state.buf_id[:, :k]
+
+
+def chal_search(
+    graph_nbr: jnp.ndarray,
+    graph_lvl_off: jnp.ndarray,
+    entry: jnp.ndarray,
+    vectors: jnp.ndarray,
+    vn: jnp.ndarray,
+    q: jnp.ndarray,
+    *,
+    max_level: int,
+    threshold_level: int,
+    cap0: int,
+    cap: int,
+    ef: int,
+    k: int,
+    max_iters: int,
+    visited_slots: int,
+    metric: str,
+    precision,
+):
+    """Full Slim query path (hnswalg_slim.h searchKnn :2030-2131):
+    greedy descent for levels max_level..threshold_level+1, beam search for
+    levels threshold_level..1 with a shared buffer, then the base layer.
+    Returns (dists f32[B, k], ids i32[B, k]) sorted ascending."""
+    b = q.shape[0]
+    qn = distance.sq_norms(q)
+    cur = jnp.broadcast_to(entry.astype(jnp.int32), (b,))
+    curdist = distance.gathered_dist(
+        q, vectors[cur][:, None, :], metric, qn=qn, vn=vn[cur][:, None],
+        precision=precision,
+    )[:, 0]
+    always = jnp.ones((b,), bool)
+
+    for l in range(max_level, threshold_level, -1):
+        fetch = make_chal_fetch(graph_nbr, graph_lvl_off, l, cap if l > 0 else cap0)
+        cur, curdist = greedy_level(
+            fetch, vectors, vn, q, qn, cur, curdist, always, metric, precision
+        )
+
+    state = beam_init(cur, curdist, ef, visited_slots)
+    for l in range(min(threshold_level, max_level), -1, -1):
+        fetch = make_chal_fetch(graph_nbr, graph_lvl_off, l, cap if l > 0 else cap0)
+        state = beam_level(
+            fetch, vectors, vn, q, qn, state, always, ef, max_iters, metric, precision
+        )
+        if l > 0:  # reset checked bits: next level re-expands the survivors
+            state = BeamState(
+                state.buf_d, state.buf_id, jnp.zeros_like(state.buf_chk), state.vis
+            )
+
+    return state.buf_d[:, :k], state.buf_id[:, :k]

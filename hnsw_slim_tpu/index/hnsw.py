@@ -1,0 +1,98 @@
+"""Vanilla HNSW index: batched build + batched search.
+
+TPU-native counterpart of hnswlib::HierarchicalNSW (reference hnswalg.h) and
+the HnswStrategy pipeline (hnsw_strategy.h:15-61). The index holds dense
+per-level adjacency (LevelGraph) plus the vector array on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import HnswConfig, SearchConfig
+from ..graph import search as gs
+from ..graph.build import HnswBuilder
+from ..graph.types import LevelGraph
+from ..ops import distance
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_level", "ef", "k", "max_iters", "visited_slots", "metric"),
+)
+def _search_jit(adjs, entry, vectors, vn, q, *, max_level, ef, k, max_iters,
+                visited_slots, metric):
+    return gs.level_search(
+        adjs, entry, vectors, vn, q,
+        max_level=max_level, ef=ef, k=k, max_iters=max_iters,
+        visited_slots=visited_slots, metric=metric,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+class HnswIndex:
+    """Build-once, query-many vanilla HNSW."""
+
+    def __init__(self, cfg: HnswConfig, search_cfg: SearchConfig | None = None,
+                 max_batch: int = 4096):
+        self.cfg = cfg
+        self.scfg = search_cfg or SearchConfig(ef=cfg.ef_search)
+        self.max_batch = max_batch
+        self.graph: LevelGraph | None = None
+        self.levels: np.ndarray | None = None
+        self.vectors = None
+        self.vn = None
+
+    def build(self, vectors: np.ndarray, verbose: bool = False) -> None:
+        self.vectors = jnp.asarray(np.asarray(vectors, np.float32))
+        self.vn = distance.sq_norms(self.vectors)
+        self.graph, self.levels = HnswBuilder(self.cfg, self.max_batch).build(
+            vectors, verbose=verbose
+        )
+
+    def set_ef(self, ef: int) -> None:
+        self.scfg = SearchConfig(
+            ef=ef, max_iters=self.scfg.max_iters, visited_slots=self.scfg.visited_slots
+        )
+
+    def search(self, queries: np.ndarray, k: int):
+        """(dists f32[B, k], ids i32[B, k]) approximate top-k, ascending."""
+        g = self.graph
+        ef = max(self.scfg.ef, k)
+        d, i = _search_jit(
+            g.adjs, g.entry, self.vectors, self.vn,
+            jnp.asarray(np.asarray(queries, np.float32)),
+            max_level=g.max_level, ef=ef, k=k,
+            max_iters=self.scfg.iters(), visited_slots=self.scfg.visited_slots,
+            metric=self.cfg.metric,
+        )
+        return np.asarray(d), np.asarray(i)
+
+    def check_integrity(self) -> dict:
+        """Structural invariants (hnswalg.h checkIntegrity :1501-1531):
+        ids in range, no self loops, no duplicate edges, degree within caps."""
+        g = self.graph
+        n = g.n
+        levels = np.asarray(g.level)
+        inbound = np.zeros(n, np.int64)
+        for l, adj in enumerate(g.adjs):
+            a = np.asarray(adj)
+            valid = a >= 0
+            assert a[valid].max(initial=0) < n, f"level {l}: id out of range"
+            rows = np.arange(n)[:, None]
+            assert not (a == rows)[valid].any(), f"level {l}: self loop"
+            # edges only for nodes of sufficient level
+            assert not valid[levels < l].any(), f"level {l}: edge on low node"
+            for v in np.nonzero(valid.any(axis=1))[0][:1000]:
+                row = a[v][a[v] >= 0]
+                assert len(set(row.tolist())) == len(row), f"dup edge at {v}@{l}"
+            np.add.at(inbound, a[valid], 1)
+        return {
+            "min_in": int(inbound[: n].min()),
+            "max_in": int(inbound.max()),
+            "connections": int(inbound.sum()),
+        }

@@ -1,0 +1,54 @@
+"""End-to-end: batched HNSW build -> search -> recall vs brute force."""
+
+import numpy as np
+import pytest
+
+from hnsw_slim_tpu.config import HnswConfig
+from hnsw_slim_tpu.graph.build import sample_levels
+from hnsw_slim_tpu.index.bruteforce import BruteForceIndex
+from hnsw_slim_tpu.index.hnsw import HnswIndex
+from hnsw_slim_tpu.utils.data import clustered
+
+
+def test_sample_levels_distribution():
+    lv = sample_levels(200000, mult=1.0 / np.log(32.0), seed=0)
+    frac1 = (lv >= 1).mean()
+    assert abs(frac1 - 1 / 32) < 0.005  # geometric with p = 1/32
+    assert lv.min() == 0
+
+
+def test_hnsw_build_search_recall():
+    base, queries = clustered(n=5000, dim=32, n_queries=100, seed=11)
+    cfg = HnswConfig(M=16, ef_construction=100, ef_search=64, branching_factor="32")
+    idx = HnswIndex(cfg, max_batch=512)
+    idx.build(base)
+
+    stats = idx.check_integrity()
+    assert stats["connections"] > 0
+
+    bf = BruteForceIndex(base, chunk=1024)
+    _, gt = bf.search(queries, k=10)
+    d, ids = idx.search(queries, k=10)
+    hits = sum(len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt))
+    recall = hits / gt.size
+    assert recall >= 0.95, recall
+
+    # distances must be true distances of returned ids
+    valid = ids >= 0
+    true_d = ((queries[:, None, :] - base[np.maximum(ids, 0)]) ** 2).sum(-1)
+    np.testing.assert_allclose(d[valid], true_d[valid], rtol=1e-3, atol=1e-3)
+
+
+def test_hnsw_ip_metric():
+    base, queries = clustered(n=2000, dim=24, n_queries=50, seed=12)
+    # normalize for a meaningful IP space
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    cfg = HnswConfig(M=16, ef_construction=100, ef_search=64, metric="ip")
+    idx = HnswIndex(cfg, max_batch=512)
+    idx.build(base)
+    bf = BruteForceIndex(base, metric="ip", chunk=1024)
+    _, gt = bf.search(queries, k=10)
+    _, ids = idx.search(queries, k=10)
+    hits = sum(len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt))
+    assert hits / gt.size >= 0.9
