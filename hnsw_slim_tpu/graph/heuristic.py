@@ -20,9 +20,10 @@ from ..ops import distance
 INF = jnp.float32(jnp.inf)
 
 
-def _prune_one(cand_d, pd, valid, M: int, keep_all_under_m: bool):
+def _prune_one(cand_d, pd, valid, m, keep_all_under_m: bool):
     """Single-node prune. cand_d f32[C], pd f32[C, C] pairwise candidate
-    distances, valid bool[C]. Returns kept bool[C] and kept count."""
+    distances, valid bool[C], m = budget (scalar, may be traced).
+    Returns kept bool[C] and kept count."""
     c = cand_d.shape[0]
     masked_d = jnp.where(valid, cand_d, INF)
     order = jnp.argsort(masked_d)
@@ -33,7 +34,7 @@ def _prune_one(cand_d, pd, valid, M: int, keep_all_under_m: bool):
         di = cand_d[ci]
         # reference: reject if any kept neighbor is closer to ci than base
         conflict = jnp.any(kept & (pd[:, ci] < di))
-        good = valid[ci] & (cnt < M) & ~conflict
+        good = valid[ci] & (cnt < m) & ~conflict
         kept = kept.at[ci].set(kept[ci] | good)
         return kept, cnt + good.astype(jnp.int32)
 
@@ -41,7 +42,7 @@ def _prune_one(cand_d, pd, valid, M: int, keep_all_under_m: bool):
     if keep_all_under_m:
         # getNeighborsByHeuristic2 early-out: fewer than M candidates -> keep all
         nvalid = jnp.sum(valid.astype(jnp.int32))
-        under = nvalid < M
+        under = nvalid < m
         kept = jnp.where(under, valid, kept)
         cnt = jnp.where(under, nvalid, cnt)
     return kept, cnt
@@ -62,13 +63,15 @@ def prune_batch(
     metric: str = "l2",
     out_width: int = 0,
     precision=jax.lax.Precision.HIGHEST,
+    m_per_row: jnp.ndarray | None = None,  # i32[B] overrides M per node
 ):
     """Heuristic-prune candidate lists for a batch of base nodes.
 
     Distances are recomputed on device (one [B,C,d] gather + einsum for
     base→cand, one [B,C,C] matmul for cand pairwise). Returns
     sel_ids i32[B, W] in ascending distance order, -1 padded
-    (W = out_width or M).
+    (W = out_width or M). m_per_row supports the Slim hub/low budgets
+    (hnswalg_slim.h:966-971).
     """
     w = out_width or M
     safe = jnp.maximum(cand_ids, 0)
@@ -89,9 +92,11 @@ def prune_batch(
         pd = cn[:, :, None] + cn[:, None, :] - 2.0 * dots
 
     valid = valid & (cand_ids >= 0) & (cand_ids != base_ids[:, None])
+    if m_per_row is None:
+        m_per_row = jnp.full((cand_ids.shape[0],), M, jnp.int32)
     kept, cnt = jax.vmap(
-        lambda d, p, v: _prune_one(d, p, v, M, keep_all_under_m)
-    )(cand_d, pd, valid)
+        lambda d, p, v, m: _prune_one(d, p, v, m, keep_all_under_m)
+    )(cand_d, pd, valid, m_per_row)
 
     key = jnp.where(kept, cand_d, INF)
     order = jnp.argsort(key, axis=1)[:, :w]

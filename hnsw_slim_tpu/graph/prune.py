@@ -1,0 +1,242 @@
+"""Two-stage Slim pruning: HNSW LevelGraph -> compact CHAL graph.
+
+Port of HierarchicalNSWSlim::convertFromHNSW (reference hnswalg_slim.h:867-1108)
+as vectorized whole-array passes:
+
+  1. degree histogram + per-level top-alpha% threshold walk  (:904-945)
+  2. per-(node,level) heuristic prune to hub/low budgets      (:951-986)
+  3. reverse-edge union + dedup                               (:988-998,:999-1015)
+  4. re-prune to maxM0/maxM where the union overflows         (:1016-1062)
+  5. hierarchical filter: keep neighbor u at level l only if
+     element_level(u) == l, unless l == threshold_level       (:1063-1084)
+  6. pack CHAL (flat ids + per-level prefix offsets)          (:1088-1106)
+
+Quirk ported faithfully: the reference never increments level_cnts[0]
+(hnswalg_slim.h:906-921), so the level-0 threshold walk sees topN=0 and picks
+threshold maxM0+1 — i.e. EVERY level-0 node takes the low budget and
+top_degree_percent0/top_M0 are effectively inert. The paper describes 2%
+level-0 hubs; pass count_level0_hubs=True for that behavior.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlimConfig
+from .heuristic import prune_batch
+from .types import ChalGraph, LevelGraph
+
+
+def _next_pow2(x: int) -> int:
+    return 1 if x <= 1 else 1 << (x - 1).bit_length()
+
+
+def degree_thresholds(
+    adj_np: list[np.ndarray],
+    levels: np.ndarray,
+    maxM0: int,
+    cfg: SlimConfig,
+    count_level0_hubs: bool = False,
+) -> np.ndarray:
+    """Per-level degree thresholds via the reference's histogram walk
+    (hnswalg_slim.h:923-945): descend from the top degree, accumulate counts,
+    stop when >= round(level_count * alpha)."""
+    lmax = len(adj_np) - 1
+    thr = np.zeros(lmax + 1, np.int64)
+    for l in range(lmax + 1):
+        act = levels >= l
+        deg = (adj_np[l][act] >= 0).sum(axis=1)
+        hist = np.bincount(deg, minlength=maxM0 + 2)
+        if l == 0:
+            cnt = int(act.sum()) if count_level0_hubs else 0  # reference quirk
+            pct = cfg.top_degree_percent0
+        else:
+            cnt = int(act.sum())
+            pct = cfg.top_degree_percent
+        top_n = int(cnt * pct + 0.5)
+        acc = 0
+        for d in range(maxM0 + 1, 0, -1):
+            acc += int(hist[d]) if d < len(hist) else 0
+            if acc >= top_n:
+                thr[l] = d
+                break
+    return thr
+
+
+def _group_rows(src: np.ndarray, tgt: np.ndarray, act: np.ndarray, n: int):
+    """Group sorted (src, tgt) pairs into left-aligned padded rows over `act`
+    (ascending) node ids. Returns rows i32[len(act), W] (-1 padded)."""
+    counts = np.bincount(src, minlength=n)[act]
+    width = _next_pow2(int(counts.max(initial=1)))
+    rows = np.full((len(act), width), -1, np.int32)
+    row_idx = np.searchsorted(act, src)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    col = np.arange(len(src)) - np.repeat(starts, counts)
+    rows[row_idx, col] = tgt
+    return rows, counts
+
+
+def _sort_row_ids(rows: np.ndarray) -> np.ndarray:
+    """Ascending-id canonical order with -1 padding pushed right."""
+    big = np.where(rows < 0, np.iinfo(np.int32).max, rows)
+    out = np.sort(big, axis=1)
+    return np.where(out == np.iinfo(np.int32).max, -1, out).astype(np.int32)
+
+
+def convert_to_slim(
+    lg: LevelGraph,
+    vectors: jnp.ndarray,
+    vn: jnp.ndarray,
+    cfg: SlimConfig,
+    metric: str = "l2",
+    count_level0_hubs: bool = False,
+    chunk: int = 2048,
+    verbose: bool = False,
+) -> ChalGraph:
+    levels = np.asarray(lg.level)
+    n = len(levels)
+    lmax = lg.max_level
+    adj_np = [np.asarray(a) for a in lg.adjs]
+    maxM0 = adj_np[0].shape[1]
+    maxM = adj_np[1].shape[1] if lmax >= 1 else maxM0 // 2
+
+    thr = degree_thresholds(adj_np, levels, maxM0, cfg, count_level0_hubs)
+
+    final_rows: list[np.ndarray] = []
+    for l in range(lmax + 1):
+        act = np.nonzero(levels >= l)[0]
+        a = adj_np[l][act]
+        deg = (a >= 0).sum(axis=1)
+        if l == 0:
+            budget = np.where(deg > thr[l], cfg.top_M0, cfg.low_m0)
+            out_w, cap_l = cfg.top_M0, maxM0
+        else:
+            budget = np.where(deg > thr[l], cfg.top_M, cfg.low_m)
+            out_w, cap_l = cfg.top_M, maxM
+
+        # stage 2: per-(node,level) budget prune (PruneByHeuristic, no early-out)
+        pruned = np.full((len(act), out_w), -1, np.int32)
+        for s in range(0, len(act), chunk):
+            ck = slice(s, min(s + chunk, len(act)))
+            cpad, nv = _pad(a[ck]), ck.stop - ck.start
+            sel, _ = prune_batch(
+                vectors, vn,
+                jnp.asarray(_pad(act[ck], fill=0)),
+                jnp.asarray(cpad),
+                jnp.asarray(cpad >= 0),
+                M=out_w, keep_all_under_m=False, metric=metric,
+                out_width=out_w,
+                m_per_row=jnp.asarray(_pad(budget[ck].astype(np.int32), fill=1)),
+            )
+            pruned[ck] = np.asarray(sel)[:nv]
+
+        # stage 3: reverse union + dedup (sorted by id)
+        s_ids = np.repeat(act, out_w)
+        t_ids = pruned.ravel()
+        m = t_ids >= 0
+        s_ids, t_ids = s_ids[m], t_ids[m]
+        key = np.unique(
+            np.concatenate([s_ids.astype(np.int64) * n + t_ids,
+                            t_ids.astype(np.int64) * n + s_ids])
+        )
+        u_src = (key // n).astype(np.int64)
+        u_tgt = (key % n).astype(np.int32)
+        rows, counts = _group_rows(u_src, u_tgt, act, n)
+
+        # stage 4: re-prune rows overflowing the level cap
+        over = np.nonzero(counts > cap_l)[0]
+        if len(over):
+            cand = rows[over]
+            for s in range(0, len(over), chunk):
+                ck = slice(s, min(s + chunk, len(over)))
+                cpad, nv = _pad(cand[ck]), ck.stop - ck.start
+                sel, _ = prune_batch(
+                    vectors, vn,
+                    jnp.asarray(_pad(act[over][ck], fill=0)),
+                    jnp.asarray(cpad),
+                    jnp.asarray(cpad >= 0),
+                    M=cap_l, keep_all_under_m=False, metric=metric,
+                    out_width=cap_l,
+                )
+                out = np.full((cpad.shape[0], rows.shape[1]), -1, np.int32)
+                out[:, :cap_l] = np.asarray(sel)
+                rows[over[ck]] = _sort_row_ids(out)[:nv]
+        if rows.shape[1] > cap_l:
+            assert not (rows[:, cap_l:] >= 0).any()
+            rows = rows[:, :cap_l]
+
+        # stage 5: hierarchical level filter
+        if l != cfg.threshold_level:
+            keep = (rows >= 0) & (levels[np.maximum(rows, 0)] == l)
+            filt = np.where(keep, rows, -1)
+            rows = _sort_row_ids(filt)
+
+        full = np.full((n, rows.shape[1]), -1, np.int32)
+        full[act] = rows
+        final_rows.append(full)
+        if verbose:
+            kept = (final_rows[l] >= 0).sum()
+            print(f"  slim level {l}: thr={thr[l]} edges={kept}")
+
+    return pack_chal_arrays(
+        final_rows, levels,
+        entry=int(np.asarray(lg.entry)),
+        max_level=lmax,
+        threshold_level=cfg.threshold_level,
+        cap0=maxM0,
+        cap=maxM,
+    )
+
+
+def _pad(a: np.ndarray, fill: int = -1) -> np.ndarray:
+    m = _next_pow2(a.shape[0])
+    if m == a.shape[0]:
+        return a
+    return np.concatenate([a, np.full((m - a.shape[0],) + a.shape[1:], fill, a.dtype)])
+
+
+def pack_chal_arrays(
+    per_level_rows: list[np.ndarray],
+    levels: np.ndarray,
+    entry: int,
+    max_level: int,
+    threshold_level: int,
+    cap0: int,
+    cap: int,
+) -> ChalGraph:
+    """Vectorized CHAL packing (hnswalg_slim.h:1088-1106): flat neighbor ids
+    grouped per node, per level, with absolute prefix offsets."""
+    n = len(levels)
+    lcnt = max_level + 1
+    counts = np.zeros((n, lcnt), np.int64)
+    for l in range(lcnt):
+        counts[:, l] = ((per_level_rows[l] >= 0) & (levels >= l)[:, None]).sum(axis=1)
+    node_total = counts.sum(axis=1)
+    node_start = np.concatenate([[0], np.cumsum(node_total)[:-1]])
+    lvl_off = np.zeros((n, lcnt + 1), np.int64)
+    lvl_off[:, 0] = node_start
+    for l in range(lcnt):
+        lvl_off[:, l + 1] = lvl_off[:, l] + counts[:, l]
+
+    total = int(node_total.sum())
+    e_pad = max(1024, _next_pow2(total))
+    flat = np.full(e_pad, -1, np.int32)
+    for l in range(lcnt):
+        rows = per_level_rows[l]
+        mask = (rows >= 0) & (levels >= l)[:, None]
+        rank = np.cumsum(mask, axis=1) - 1
+        tgt = lvl_off[:, l][:, None] + rank
+        flat[tgt[mask]] = rows[mask]
+
+    return ChalGraph(
+        nbr=jnp.asarray(flat),
+        lvl_off=jnp.asarray(lvl_off.astype(np.int32)),
+        level=jnp.asarray(levels.astype(np.int32)),
+        entry=jnp.asarray(np.int32(entry)),
+        max_level=int(max_level),
+        threshold_level=int(threshold_level),
+        cap0=int(cap0),
+        cap=int(cap),
+    )

@@ -1,0 +1,139 @@
+"""HNSW-Slim index: pruned CHAL graph + threshold-aware search.
+
+TPU-native counterpart of HierarchicalNSWSlim (reference hnswalg_slim.h) and
+the HnswSlimStrategy pipeline (hnsw_slim_strategy.h:34-120): build (or take) a
+vanilla HNSW, run the two-stage pruning conversion, then serve batched
+queries with greedy descent above the threshold level and beam search at and
+below it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import HnswConfig, SearchConfig, SlimConfig
+from ..graph import search as gs
+from ..graph.prune import convert_to_slim
+from ..graph.types import ChalGraph
+from ..ops import distance
+from .hnsw import HnswIndex
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_level", "threshold_level", "cap0", "cap", "ef", "k",
+        "max_iters", "visited_slots", "metric",
+    ),
+)
+def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
+                     threshold_level, cap0, cap, ef, k, max_iters,
+                     visited_slots, metric):
+    return gs.chal_search(
+        nbr, lvl_off, entry, vectors, vn, q,
+        max_level=max_level, threshold_level=threshold_level,
+        cap0=cap0, cap=cap, ef=ef, k=k, max_iters=max_iters,
+        visited_slots=visited_slots, metric=metric,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+class HnswSlimIndex:
+    """Pruned (Slim) index. Single-writer: mutation happens through
+    whole-graph conversion, like the reference (hnswalg_slim.h:149-152)."""
+
+    def __init__(self, metric: str = "l2", search_cfg: SearchConfig | None = None):
+        self.metric = metric
+        self.scfg = search_cfg or SearchConfig()
+        self.graph: ChalGraph | None = None
+        self.vectors = None
+        self.vn = None
+
+    @classmethod
+    def from_hnsw(
+        cls,
+        hnsw: HnswIndex,
+        slim_cfg: SlimConfig,
+        search_cfg: SearchConfig | None = None,
+        count_level0_hubs: bool = False,
+        verbose: bool = False,
+    ) -> "HnswSlimIndex":
+        """convertFromHNSW (hnswalg_slim.h:867-1108)."""
+        idx = cls(metric=hnsw.cfg.metric, search_cfg=search_cfg)
+        idx.vectors = hnsw.vectors
+        idx.vn = hnsw.vn
+        idx.graph = convert_to_slim(
+            hnsw.graph, hnsw.vectors, hnsw.vn, slim_cfg,
+            metric=hnsw.cfg.metric, count_level0_hubs=count_level0_hubs,
+            verbose=verbose,
+        )
+        return idx
+
+    @classmethod
+    def build(
+        cls,
+        vectors: np.ndarray,
+        hnsw_cfg: HnswConfig | None = None,
+        slim_cfg: SlimConfig | None = None,
+        max_batch: int = 4096,
+        verbose: bool = False,
+    ) -> "HnswSlimIndex":
+        """Full HnswSlimStrategy pipeline: build HNSW then convert."""
+        hnsw = HnswIndex(hnsw_cfg or HnswConfig(), max_batch=max_batch)
+        hnsw.build(vectors, verbose=verbose)
+        return cls.from_hnsw(hnsw, slim_cfg or SlimConfig.from_ratios(),
+                             verbose=verbose)
+
+    def set_ef(self, ef: int) -> None:
+        self.scfg = SearchConfig(
+            ef=ef, max_iters=self.scfg.max_iters, visited_slots=self.scfg.visited_slots
+        )
+
+    def search(self, queries: np.ndarray, k: int):
+        """(dists f32[B,k], ids i32[B,k]) — searchKnn (hnswalg_slim.h:2030)."""
+        g = self.graph
+        ef = max(self.scfg.ef, k)
+        d, i = _chal_search_jit(
+            g.nbr, g.lvl_off, g.entry, self.vectors, self.vn,
+            jnp.asarray(np.asarray(queries, np.float32)),
+            max_level=g.max_level, threshold_level=g.threshold_level,
+            cap0=g.cap0, cap=g.cap, ef=ef, k=k,
+            max_iters=self.scfg.iters(), visited_slots=self.scfg.visited_slots,
+            metric=self.metric,
+        )
+        return np.asarray(d), np.asarray(i)
+
+    def index_size(self) -> int:
+        """Graph-only bytes in the reference's accounting
+        (hnswalg_slim.h:2435-2443)."""
+        return self.graph.chal_bytes()
+
+    def check_integrity(self) -> dict:
+        """hnswalg_slim.h checkIntegrity :2387-2433 + the hierarchical
+        membership rule: a level-l neighbor must itself be a level-l node
+        unless l == threshold_level."""
+        g = self.graph
+        n = g.n
+        levels = np.asarray(g.level)
+        nbr = np.asarray(g.nbr)
+        off = np.asarray(g.lvl_off)
+        total_edges = 0
+        for l in range(g.max_level + 1):
+            cap_l = g.cap0 if l == 0 else g.cap
+            sizes = off[:, l + 1] - off[:, l]
+            assert (sizes >= 0).all()
+            assert sizes.max(initial=0) <= cap_l, f"level {l} over cap"
+            assert not (sizes[levels < l] > 0).any(), "slice on low node"
+            for v in np.nonzero(sizes > 0)[0][:2000]:
+                ids = nbr[off[v, l] : off[v, l + 1]]
+                assert (ids >= 0).all() and (ids < n).all(), "id out of range"
+                assert v not in ids, f"self loop at {v}@{l}"
+                assert len(set(ids.tolist())) == len(ids), f"dup edge {v}@{l}"
+                if l != g.threshold_level:
+                    assert (levels[ids] == l).all(), f"membership rule {v}@{l}"
+            total_edges += int(sizes.sum())
+        return {"edges": total_edges, "bytes": g.chal_bytes()}

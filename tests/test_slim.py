@@ -1,0 +1,91 @@
+"""Slim conversion pipeline + threshold search tests."""
+
+import numpy as np
+import pytest
+
+from hnsw_slim_tpu.config import HnswConfig, SlimConfig
+from hnsw_slim_tpu.graph.prune import degree_thresholds
+from hnsw_slim_tpu.index.bruteforce import BruteForceIndex
+from hnsw_slim_tpu.index.hnsw import HnswIndex
+from hnsw_slim_tpu.index.slim import HnswSlimIndex
+from hnsw_slim_tpu.utils.data import clustered
+
+
+def _build_pair(n=4000, dim=32, nq=100, seed=31, M=16, efc=100):
+    base, queries = clustered(n=n, dim=dim, n_queries=nq, seed=seed)
+    hnsw = HnswIndex(HnswConfig(M=M, ef_construction=efc), max_batch=512)
+    hnsw.build(base)
+    return base, queries, hnsw
+
+
+def test_degree_threshold_walk_level0_quirk():
+    # level 0 must get threshold maxM0+1 (reference quirk: level_cnts[0]==0)
+    adj0 = np.full((100, 8), -1, np.int32)
+    adj0[:, :4] = (np.arange(100)[:, None] + np.arange(1, 5)[None, :]) % 100
+    adj0[:2, 4:] = [[50, 51, 52, 53], [60, 61, 62, 63]]  # two degree-8 hubs
+    levels = np.zeros(100, np.int32)
+    thr = degree_thresholds([adj0], levels, maxM0=8, cfg=SlimConfig())
+    assert thr[0] == 9  # maxM0 + 1: no level-0 hubs, ever (shipped behavior)
+    thr2 = degree_thresholds(
+        [adj0], levels, maxM0=8, cfg=SlimConfig(), count_level0_hubs=True
+    )
+    # topN = round(100*0.02) = 2; the two degree-8 nodes cross it at d=8
+    assert thr2[0] == 8
+
+
+def test_slim_conversion_and_search():
+    base, queries, hnsw = _build_pair()
+    slim = HnswSlimIndex.from_hnsw(hnsw, SlimConfig.from_ratios())
+    stats = slim.check_integrity()
+    assert stats["edges"] > 0
+
+    # slim graph must be materially smaller than the vanilla graph
+    vanilla_edges = sum(int((np.asarray(a) >= 0).sum()) for a in hnsw.graph.adjs)
+    assert stats["edges"] < 0.75 * vanilla_edges, (stats["edges"], vanilla_edges)
+
+    bf = BruteForceIndex(base, chunk=1024)
+    _, gt = bf.search(queries, k=10)
+
+    slim.set_ef(80)
+    d, ids = slim.search(queries, k=10)
+    hits = sum(len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt))
+    recall = hits / gt.size
+    assert recall >= 0.9, recall
+
+    # distances must be true distances
+    valid = ids >= 0
+    true_d = ((queries[:, None, :] - base[np.maximum(ids, 0)]) ** 2).sum(-1)
+    np.testing.assert_allclose(d[valid], true_d[valid], rtol=1e-3, atol=1e-3)
+
+
+def test_slim_index_size_reduction():
+    # reference defaults (M=30 -> maxM0=60) on uniform data produce the dense
+    # graphs the pruning is designed for; clustered/low-dim graphs are already
+    # sparse because the RNG heuristic prunes them at insert time
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((3000, 24)).astype(np.float32)
+    hnsw = HnswIndex(HnswConfig(M=30, ef_construction=128), max_batch=512)
+    hnsw.build(base)
+    slim = HnswSlimIndex.from_hnsw(hnsw, SlimConfig.from_ratios())
+    # reference-accounting vanilla bytes: 24/node + 4/edge (+2/level u16)
+    levels = np.asarray(hnsw.graph.level)
+    vanilla_edges = sum(int((np.asarray(a) >= 0).sum()) for a in hnsw.graph.adjs)
+    vanilla_bytes = 24 * len(levels) + 2 * int(levels.sum()) + 4 * vanilla_edges
+    ratio = vanilla_bytes / slim.index_size()
+    assert ratio > 1.5, ratio
+    assert vanilla_edges / slim.check_integrity()["edges"] > 1.8
+
+
+def test_slim_threshold_level_1():
+    # threshold_level=1: beam runs at level 1 too, filter keeps all at l==1
+    base, queries, hnsw = _build_pair(n=3000)
+    slim = HnswSlimIndex.from_hnsw(
+        hnsw, SlimConfig.from_ratios(threshold_level=1)
+    )
+    slim.check_integrity()
+    bf = BruteForceIndex(base, chunk=1024)
+    _, gt = bf.search(queries, k=10)
+    slim.set_ef(80)
+    _, ids = slim.search(queries, k=10)
+    hits = sum(len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt))
+    assert hits / gt.size >= 0.9
