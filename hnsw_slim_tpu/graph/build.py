@@ -19,6 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..config import HnswConfig
 from ..ops import distance
@@ -43,6 +44,15 @@ def _pad_rows(a: np.ndarray, fill: int = -1) -> tuple[np.ndarray, int]:
     return np.concatenate([a, pad]), n
 
 
+def _pad_to(a: np.ndarray, size: int, fill: int = -1) -> np.ndarray:
+    """Pad the leading dim to exactly `size` (single compiled shape)."""
+    n = a.shape[0]
+    if n >= size:
+        return a
+    pad = np.full((size - n,) + a.shape[1:], fill, a.dtype)
+    return np.concatenate([a, pad])
+
+
 def sample_levels(n: int, mult: float, seed: int, cap: int = 12) -> np.ndarray:
     """Geometric level sampling (hnswalg.h:1285 getRandomLevel)."""
     rng = np.random.default_rng(seed)
@@ -53,7 +63,7 @@ def sample_levels(n: int, mult: float, seed: int, cap: int = 12) -> np.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_level", "efc", "max_iters", "visited_slots", "metric"),
+    static_argnames=("max_level", "efc", "max_iters", "metric"),
 )
 def _build_search(
     adjs: tuple,
@@ -66,7 +76,6 @@ def _build_search(
     max_level: int,
     efc: int,
     max_iters: int,
-    visited_slots: int,
     metric: str,
 ):
     """Per-batch candidate discovery: greedy descent above each point's level,
@@ -81,7 +90,7 @@ def _build_search(
         precision=precision,
     )[:, 0]
 
-    state = gs.beam_init(cur, curdist, efc, visited_slots)
+    state = gs.beam_init(cur, curdist, efc)
     out_d, out_i = [], []
     for l in range(max_level, -1, -1):
         fetch = gs.make_dense_fetch(adjs[l])
@@ -99,7 +108,7 @@ def _build_search(
         out_i.append(state.buf_id)
         if l > 0:
             state = gs.BeamState(
-                state.buf_d, state.buf_id, jnp.zeros_like(state.buf_chk), state.vis
+                state.buf_d, state.buf_id, jnp.zeros_like(state.buf_chk)
             )
     # out[j] corresponds to level max_level - j; flip to index by level
     return jnp.stack(out_d[::-1]), jnp.stack(out_i[::-1])
@@ -109,12 +118,374 @@ def _build_search(
 greedy_level = gs.greedy_level
 
 
-class HnswBuilder:
-    """Builds a LevelGraph over a vector set in batched rounds."""
+@functools.partial(jax.jit, static_argnames=("w_union",))
+def mutual_union(sel: jnp.ndarray, d_sel: jnp.ndarray, *, w_union: int):
+    """Symmetrize pruned forward edges and keep each node's w_union nearest.
 
-    def __init__(self, cfg: HnswConfig, max_batch: int = 4096):
+    Device-side replacement for the reference's locked reverse-edge emplace +
+    dedup (hnswalg_slim.h:988-1015, hnswalg.h:618-687): one global sort by
+    (src, tgt) for dedup, one by (src, dist) for ranking, one scatter.
+    Returns rows i32[N, w_union] (-1 padded, ascending distance) and counts.
+    """
+    n, m = sel.shape
+    src1 = jnp.repeat(lax.broadcasted_iota(jnp.int32, (n, 1), 0), m, axis=1)
+    tgt1 = sel
+    valid = tgt1 >= 0
+
+    src = jnp.concatenate([src1.reshape(-1), tgt1.reshape(-1)])
+    tgt = jnp.concatenate([tgt1.reshape(-1), src1.reshape(-1)])
+    dd = jnp.concatenate([d_sel.reshape(-1)] * 2)
+    ok = jnp.concatenate([valid.reshape(-1)] * 2)
+
+    # dedup by (src, tgt): 2-key sort, mark adjacent duplicates (no 64-bit
+    # pair keys — they would overflow/truncate at large N)
+    src_m = jnp.where(ok, src, n)
+    tgt_m = jnp.where(ok, tgt, n)
+    s1, t1s, d1s = lax.sort((src_m, tgt_m, dd), dimension=0, num_keys=2)
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), bool), (s1[1:] == s1[:-1]) & (t1s[1:] == t1s[:-1])]
+    )
+    s1 = jnp.where(dup, n, s1)
+
+    # rank by distance within each src run
+    s2, d2, t2 = lax.sort((s1, d1s, t1s), dimension=0, num_keys=2)
+
+    e = s2.shape[0]
+    iota = lax.broadcasted_iota(jnp.int32, (e, 1), 0)[:, 0]
+    first = jnp.concatenate([jnp.ones((1,), bool), s2[1:] != s2[:-1]])
+    runstart = lax.associative_scan(jnp.maximum, jnp.where(first, iota, 0))
+    rank = iota - runstart
+    keep = (rank < w_union) & (s2 < n)
+
+    rows = jnp.full((n + 1, w_union), -1, jnp.int32)
+    rows = rows.at[
+        jnp.where(keep, s2, n), jnp.where(keep, rank, 0)
+    ].set(jnp.where(keep, t2, -1))[:n]
+    counts = jnp.sum((rows >= 0).astype(jnp.int32), axis=1)
+    return rows, counts
+
+
+def knn_to_level0(
+    vectors, vn, knn_ids, knn_d, M: int, cap0: int, metric: str,
+    chunk: int = 4096, hop2: int = 0, seed: int = 0,
+):
+    """kNN lists -> navigable level-0 adjacency: heuristic-prune each node's
+    kNN to M (mutuallyConnectNewElement semantics), symmetrize, re-prune
+    overflowing rows to cap0. hop2 > 0 augments each node's candidates with
+    that many random 2-hop samples (diversity for the RNG rule, standing in
+    for the insertion build's ef_construction beam candidates)."""
+    n = knn_ids.shape[0]
+    if hop2 > 0:
+        rng = np.random.default_rng(seed)
+        kk = knn_ids.shape[1]
+        r1 = rng.integers(0, kk, (n, hop2))
+        r2 = rng.integers(0, kk, (n, hop2))
+        mid = np.take_along_axis(knn_ids, r1, axis=1)
+        h2 = np.where(
+            mid >= 0, knn_ids.reshape(-1)[np.maximum(mid, 0) * kk + r2], -1
+        )
+        # plus uniform random long-range candidates: the RNG rule keeps the
+        # few that are not intercepted, giving greedy-routable long links
+        # (the insertion build gets these from its entry-descent beam)
+        rnd = rng.integers(0, n, (n, hop2)).astype(np.int32)
+        knn_ids = np.concatenate([knn_ids, h2, rnd], axis=1)
+    sel = np.zeros((n, M), np.int32)
+    for s in range(0, n, chunk):
+        ck = slice(s, min(s + chunk, n))
+        cpad = _pad_to(np.asarray(knn_ids[ck]), chunk)
+        bpad = _pad_to(np.arange(ck.start, ck.stop, dtype=np.int32), chunk, fill=0)
+        out, _ = prune_batch(
+            vectors, vn, jnp.asarray(bpad), jnp.asarray(cpad),
+            jnp.asarray(cpad >= 0), M=M, keep_all_under_m=True, metric=metric,
+        )
+        sel[ck] = np.asarray(out)[: ck.stop - ck.start]
+
+    # distance payload for ranking the union (chunked to bound the gather)
+    d_sel = np.full((n, M), np.inf, np.float32)
+    for s in range(0, n, 65536):
+        ck = slice(s, min(s + 65536, n))
+        d_sel[ck] = np.asarray(
+            _edge_dists(
+                vectors[ck.start : ck.stop], vn[ck.start : ck.stop],
+                vectors, vn, jnp.asarray(sel[ck]), metric,
+            )
+        )
+    rows, counts = mutual_union(
+        jnp.asarray(sel), jnp.asarray(d_sel), w_union=cap0 + 16
+    )
+
+    # re-prune rows over cap0; keep under-cap rows untouched (hnswlib appends
+    # without pruning until the row overflows, hnswalg.h:618-687)
+    rows_np = np.asarray(rows)
+    counts_np = np.asarray(counts)
+    out = np.full((n, cap0), -1, np.int32)
+    m_row = np.where(counts_np > cap0, cap0, counts_np + 1).astype(np.int32)
+    for s in range(0, n, chunk):
+        ck = slice(s, min(s + chunk, n))
+        cpad = _pad_to(rows_np[ck], chunk)
+        bpad = _pad_to(np.arange(ck.start, ck.stop, dtype=np.int32), chunk, fill=0)
+        mpad = _pad_to(m_row[ck], chunk, fill=1)
+        o, _ = prune_batch(
+            vectors, vn, jnp.asarray(bpad), jnp.asarray(cpad),
+            jnp.asarray(cpad >= 0), M=cap0, keep_all_under_m=True,
+            metric=metric, out_width=cap0, m_per_row=jnp.asarray(mpad),
+        )
+        out[ck] = np.asarray(o)[: ck.stop - ck.start]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _edge_dists(q, qn, vectors, vn, sel, metric):
+    """Exact distances q[i] -> vectors[sel[i, j]]; inf where sel < 0."""
+    safe = jnp.maximum(sel, 0)
+    d = distance.gathered_dist(
+        q, vectors[safe], metric, qn=qn, vn=vn[safe],
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return jnp.where(sel >= 0, d, INF)
+
+
+def _exact_knn_subset(vectors, vn, sub_ids: np.ndarray, k: int, metric: str,
+                      qchunk: int = 4096):
+    """Exact kNN among a node subset (upper levels are tiny: N/32^l nodes).
+    Returns global ids i32[S, k] and dists, self excluded."""
+    s = len(sub_ids)
+    sub = jnp.asarray(sub_ids)
+    sv = vectors[sub]
+    svn = vn[sub]
+    out_i = np.full((s, k), -1, np.int32)
+    out_d = np.full((s, k), np.inf, np.float32)
+    k_eff = min(k, s - 1)
+    for st in range(0, s, qchunk):
+        ck = slice(st, min(st + qchunk, s))
+        d = distance.pairwise_dist(
+            sv[ck.start : ck.stop], sv, metric,
+            qn=svn[ck.start : ck.stop], xn=svn,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        # mask self: row r is subset index ck.start + r
+        rows = jnp.arange(ck.stop - ck.start)
+        d = d.at[rows, rows + ck.start].set(jnp.inf)
+        neg, arg = jax.lax.top_k(-d, k_eff)
+        out_i[ck, :k_eff] = sub_ids[np.asarray(arg)]
+        out_d[ck, :k_eff] = -np.asarray(neg)
+    return out_i, out_d
+
+
+def build_by_nnd(
+    cfg: HnswConfig,
+    vectors_np: np.ndarray,
+    nnd_k: int = 0,
+    nnd_rounds: int = 25,
+    hop2: int = 16,
+    chunk: int = 8192,
+    verbose: bool = False,
+):
+    """TPU-native build: NN-descent kNN graph -> heuristic prune + mutual
+    union at level 0; exact kNN + same prune at the (tiny) upper levels.
+    Returns (LevelGraph, levels)."""
+    from .nnd import nn_descent
+
+    n, dim = vectors_np.shape
+    levels = sample_levels(n, cfg.mult, cfg.seed)
+    lmax = int(levels.max(initial=0))
+    vecs = jnp.asarray(np.asarray(vectors_np, np.float32))
+    vn = distance.sq_norms(vecs)
+
+    k = nnd_k or max(cfg.maxM0, 48)
+    knn_ids, knn_d = nn_descent(
+        vecs, vn, k=k, rounds=nnd_rounds, chunk=min(chunk, _next_pow2(n)),
+        metric=cfg.metric, seed=cfg.seed, verbose=verbose,
+    )
+    adj0 = knn_to_level0(
+        vecs, vn, np.asarray(knn_ids), np.asarray(knn_d),
+        M=cfg.M, cap0=cfg.maxM0, metric=cfg.metric, hop2=hop2, seed=cfg.seed,
+    )
+    adj0 = repair_connectivity(
+        adj0, np.arange(n, dtype=np.int32), vecs, vn, cfg.metric
+    )
+    adjs = [adj0]
+
+    for l in range(1, lmax + 1):
+        sub = np.nonzero(levels >= l)[0].astype(np.int32)
+        full = np.full((n, cfg.maxM), -1, np.int32)
+        if len(sub) > 1:
+            ki, _ = _exact_knn_subset(
+                vecs, vn, sub, min(k, len(sub) - 1), cfg.metric
+            )
+            rows = _subset_prune_union(
+                vecs, vn, sub, ki, cfg.M, cfg.maxM, cfg.metric
+            )
+            full[sub] = repair_connectivity(rows, sub, vecs, vn, cfg.metric)
+        adjs.append(full)
+
+    # enterpoint: first node at the top level (hnswalg.h enterpoint_node_)
+    top = np.nonzero(levels == lmax)[0]
+    entry = int(top[0]) if len(top) else 0
+
+    return LevelGraph(
+        adjs=tuple(jnp.asarray(a) for a in adjs),
+        level=jnp.asarray(levels),
+        entry=jnp.asarray(np.int32(entry)),
+        max_level=lmax,
+    ), levels
+
+
+def _subset_prune_union(vecs, vn, sub_ids, knn_rows, M, cap, metric,
+                        chunk: int = 4096, rand_cands: int = 16):
+    """Prune+symmetrize a subset's kNN rows (global ids); returns [S, cap]."""
+    s = len(sub_ids)
+    if rand_cands > 0 and s > 2:
+        # random long-range candidates keep upper-level greedy descent
+        # routable across far regions (see knn_to_level0)
+        rng = np.random.default_rng(1)
+        rnd = sub_ids[rng.integers(0, s, (s, min(rand_cands, s - 1)))]
+        knn_rows = np.concatenate([knn_rows, rnd.astype(np.int32)], axis=1)
+    sel = np.zeros((s, M), np.int32)
+    for st in range(0, s, chunk):
+        ck = slice(st, min(st + chunk, s))
+        cpad = _pad_rows(knn_rows[ck])[0]
+        bpad = _pad_rows(sub_ids[ck], fill=0)[0]
+        out, _ = prune_batch(
+            vecs, vn, jnp.asarray(bpad), jnp.asarray(cpad),
+            jnp.asarray(cpad >= 0), M=M, keep_all_under_m=True, metric=metric,
+        )
+        sel[ck] = np.asarray(out)[: ck.stop - ck.start]
+
+    # map to local ids for the union, then back
+    lookup = np.full(int(vecs.shape[0]), -1, np.int32)
+    lookup[sub_ids] = np.arange(s, dtype=np.int32)
+    loc = np.where(sel >= 0, lookup[np.maximum(sel, 0)], -1).astype(np.int32)
+    d_sel = np.asarray(
+        _edge_dists(vecs[jnp.asarray(sub_ids)], vn[jnp.asarray(sub_ids)],
+                    vecs, vn, jnp.asarray(sel), metric)
+    )
+    rows_l, counts = mutual_union(
+        jnp.asarray(loc), jnp.asarray(d_sel), w_union=cap + 8
+    )
+    rows_l = np.asarray(rows_l)
+    counts = np.asarray(counts)
+    rows_g = np.where(rows_l >= 0, sub_ids[np.maximum(rows_l, 0)], -1)
+
+    out = np.full((s, cap), -1, np.int32)
+    m_row = np.where(counts > cap, cap, counts + 1).astype(np.int32)
+    for st in range(0, s, chunk):
+        ck = slice(st, min(st + chunk, s))
+        cpad = _pad_rows(rows_g[ck])[0]
+        bpad = _pad_rows(sub_ids[ck], fill=0)[0]
+        mpad = _pad_rows(m_row[ck], fill=1)[0]
+        o, _ = prune_batch(
+            vecs, vn, jnp.asarray(bpad), jnp.asarray(cpad),
+            jnp.asarray(cpad >= 0), M=cap, keep_all_under_m=True,
+            metric=metric, out_width=cap, m_per_row=jnp.asarray(mpad),
+        )
+        out[ck] = np.asarray(o)[: ck.stop - ck.start]
+    return out
+
+
+def _components(rows: np.ndarray, node_ids: np.ndarray | None = None) -> np.ndarray:
+    """Connected-component labels over an undirected view of `rows` (scipy
+    csgraph, C speed). rows i32[S, W] hold global ids; node_ids maps row
+    index -> global id (identity if None)."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    s, w = rows.shape
+    if node_ids is None:
+        lookup = None
+    else:
+        lookup = np.full(int(node_ids.max(initial=0)) + 2, -1, np.int64)
+        lookup[node_ids] = np.arange(s)
+    src = np.repeat(np.arange(s), w)
+    tgt = rows.reshape(-1).astype(np.int64)
+    m = tgt >= 0
+    src, tgt = src[m], tgt[m]
+    if lookup is not None:
+        tgt = lookup[tgt]
+        m2 = tgt >= 0
+        src, tgt = src[m2], tgt[m2]
+    g = coo_matrix(
+        (np.ones(len(src), np.int8), (src, tgt)), shape=(s, s)
+    )
+    _, labels = connected_components(g, directed=True, connection="weak")
+    return labels
+
+
+def repair_connectivity(
+    rows: np.ndarray,
+    node_ids: np.ndarray,
+    vectors,
+    vn,
+    metric: str,
+    max_rounds: int = 64,
+    sample: int = 256,
+) -> np.ndarray:
+    """Guarantee a single connected component by adding one mutual edge
+    between each stray component and the rest (closest cross pair among
+    samples). Insertion-built HNSW gets connectivity for free (every insert
+    links into the existing graph, hnswalg.h:1344-1367); the kNN-union build
+    must enforce it explicitly."""
+    rows = rows.copy()
+    for _ in range(max_rounds):
+        comp = _components(rows, node_ids)
+        labels, counts = np.unique(comp, return_counts=True)
+        if len(labels) == 1:
+            return rows
+        main = labels[np.argmax(counts)]
+        rng = np.random.default_rng(0)
+        for c in labels:
+            if c == main:
+                continue
+            a_idx = np.nonzero(comp == c)[0]
+            b_idx = np.nonzero(comp != c)[0]
+            a_s = rng.choice(a_idx, size=min(sample, len(a_idx)), replace=False)
+            b_s = rng.choice(b_idx, size=min(4 * sample, len(b_idx)), replace=False)
+            av = vectors[jnp.asarray(node_ids[a_s])]
+            bv = vectors[jnp.asarray(node_ids[b_s])]
+            d = np.asarray(
+                distance.pairwise_dist(
+                    av, bv, metric,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+            )
+            # several bridges per stray component: single-edge bridges are
+            # fragile and may be cut by later pruning passes
+            flat = np.argsort(d, axis=None)[: 4 * max(1, d.shape[0] // sample)]
+            used_a = set()
+            for f in flat[:8]:
+                ai, bi = np.unravel_index(f, d.shape)
+                if ai in used_a:
+                    continue
+                used_a.add(ai)
+                u, v = a_s[ai], b_s[bi]
+                _append_or_replace(rows, u, node_ids[v])
+                _append_or_replace(rows, v, node_ids[u])
+    return rows
+
+
+def _append_or_replace(rows: np.ndarray, i: int, gid: int) -> None:
+    """Append gid to rows[i]; if full, replace the last (farthest) slot."""
+    if gid in rows[i]:
+        return
+    empty = np.nonzero(rows[i] < 0)[0]
+    rows[i, empty[0] if len(empty) else -1] = gid
+
+
+class HnswBuilder:
+    """Builds a LevelGraph over a vector set in batched rounds.
+
+    All search batches are padded to `pad_batch` (default max_batch) so the
+    expensive _build_search program compiles exactly once per build; padded
+    queries carry lp_eff=-1 and never beam. Early small batches run the full
+    program over a near-empty graph, which converges in a handful of
+    while_loop iterations and costs little.
+    """
+
+    def __init__(self, cfg: HnswConfig, max_batch: int = 4096,
+                 pad_batch: int | None = None):
         self.cfg = cfg
         self.max_batch = max_batch
+        self.pad_batch = pad_batch or max_batch
 
     def build(self, vectors: np.ndarray, verbose: bool = False):
         """Returns (LevelGraph, levels np.int32[N])."""
@@ -167,8 +538,8 @@ class HnswBuilder:
         b = len(ids)
         lp = levels[ids].astype(np.int32)
         lp_eff = np.minimum(lp, cur_maxlevel)
-        ids_pad, _ = _pad_rows(ids.astype(np.int32), fill=int(ids[-1]))
-        lp_pad, _ = _pad_rows(lp_eff, fill=-1)  # padded queries never beam
+        ids_pad = _pad_to(ids.astype(np.int32), self.pad_batch, fill=int(ids[-1]))
+        lp_pad = _pad_to(lp_eff, self.pad_batch, fill=-1)  # padded queries never beam
         q = vecs[jnp.asarray(ids_pad)]
 
         cand_d, cand_i = _build_search(
@@ -181,7 +552,6 @@ class HnswBuilder:
             max_level=lmax,
             efc=cfg.ef_construction,
             max_iters=2 * cfg.ef_construction + 64,
-            visited_slots=1024,
             metric=cfg.metric,
         )
 
@@ -193,8 +563,13 @@ class HnswBuilder:
             a_ids = ids[aidx]
             cap_l = cfg.maxM0 if l == 0 else cfg.maxM
             ci_np = np.asarray(cand_i[l])[aidx]
-            ci_pad, na = _pad_rows(ci_np)
-            aid_pad, _ = _pad_rows(a_ids.astype(np.int32), fill=0)
+            if l == 0:  # whole batch: one compiled shape
+                na = len(a_ids)
+                ci_pad = _pad_to(ci_np, self.pad_batch)
+                aid_pad = _pad_to(a_ids.astype(np.int32), self.pad_batch, fill=0)
+            else:
+                ci_pad, na = _pad_rows(ci_np)
+                aid_pad, _ = _pad_rows(a_ids.astype(np.int32), fill=0)
             # forward selection: heuristic to M with the under-M early-out
             # (mutuallyConnectNewElement -> getNeighborsByHeuristic2,
             #  hnswalg.h:549-560)

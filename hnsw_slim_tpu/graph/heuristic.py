@@ -103,4 +103,6 @@ def prune_batch(
     sel = jnp.take_along_axis(cand_ids, order, axis=1)
     pos = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1)
     sel = jnp.where(pos < cnt[:, None], sel, -1)
+    if sel.shape[1] < w:  # fewer candidates than the requested output width
+        sel = jnp.pad(sel, ((0, 0), (0, w - sel.shape[1])), constant_values=-1)
     return sel, cnt

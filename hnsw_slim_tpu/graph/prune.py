@@ -175,6 +175,16 @@ def convert_to_slim(
 
         full = np.full((n, rows.shape[1]), -1, np.int32)
         full[act] = rows
+        if l == cfg.threshold_level:
+            # pruning may sever thin bridges; re-guarantee a single component
+            # at the beam-entry level (membership rule is exempt here, and the
+            # reference's reverse-edge union serves the same purpose,
+            # hnswalg_slim.h:988-998)
+            from .build import repair_connectivity
+
+            full[act] = repair_connectivity(
+                full[act], act.astype(np.int32), vectors, vn, metric
+            )
         final_rows.append(full)
         if verbose:
             kept = (final_rows[l] >= 0).sum()

@@ -8,11 +8,19 @@ query batch advances in lockstep inside `lax.while_loop`s:
   gather + one fused distance matmul per step; per-query done masks.
 * beam search: every query holds a SORTED top-ef buffer (ids, dists, checked
   bits) — the array-based SearchBuffer the reference itself adopted for SlimQ
-  (hnswalg_slimq.h:80-151) — plus a direct-mapped visited table replacing the
-  epoch VisitedList (visited_list_pool.h:8-78). Each iteration pops the best
-  unchecked entry per query, gathers its ≤W neighbors, scores them with one
-  [B, W, d] einsum, and merges via top_k. Collisions in the visited table only
-  cost recomputation; dedup against the buffer keeps results exact.
+  (hnswalg_slimq.h:80-151). Each iteration pops the best unchecked entry per
+  query, gathers its ≤W neighbors, scores them with one [B, W, d] einsum, and
+  merges with a single multi-operand `lax.sort`.
+
+TPU-specific choices (measured on v5e):
+* merge via lax.sort((dist, id, chk), num_keys=1) — top_k + take_along_axis
+  costs ~10x more (per-row payload gathers lower badly on TPU).
+* selection/pop via one-hot mask reductions, not scatter/gather.
+* NO visited table: candidates are deduped against the buffer, and a node
+  that fell out of the sorted top-ef can never re-enter (the buffer's worst
+  distance only decreases), so termination is guaranteed. Re-scanning an
+  already-seen neighbor merely wastes one of the W distance lanes — cheaper
+  than the epoch-tagged VisitedList (visited_list_pool.h:10-77) it replaces.
 
 Termination matches the reference exactly: a query stops when its best
 unchecked candidate is farther than the worst of its full top-ef buffer.
@@ -20,7 +28,6 @@ unchecked candidate is farther than the worst of its full top-ef buffer.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple
 
 import jax
@@ -57,10 +64,6 @@ def make_dense_fetch(adj_l: jnp.ndarray):
     return fetch
 
 
-def _take(x: jnp.ndarray, sel: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take_along_axis(x, sel[:, None], axis=1)[:, 0]
-
-
 def greedy_level(
     fetch: Callable,
     vectors: jnp.ndarray,
@@ -89,10 +92,11 @@ def greedy_level(
             q, vectors[safe], metric, qn=qn, vn=vn[safe], precision=precision
         )
         d = jnp.where(valid, d, INF)
-        j = jnp.argmin(d, axis=1)
-        dmin = _take(d, j)
+        dmin = jnp.min(d, axis=1)
+        # one-hot argmin (scatter-free): smallest id among minimal-distance lanes
+        best = jnp.min(jnp.where(d == dmin[:, None], safe, jnp.int32(2**30)), axis=1)
         better = dmin < curdist
-        cur = jnp.where(better, _take(ids, j), cur)
+        cur = jnp.where(better, best, cur)
         curdist = jnp.where(better, dmin, curdist)
         return cur, curdist, changed & better
 
@@ -103,24 +107,16 @@ def greedy_level(
 class BeamState(NamedTuple):
     buf_d: jnp.ndarray  # f32[B, EF] sorted ascending, inf padded
     buf_id: jnp.ndarray  # i32[B, EF], -1 padded
-    buf_chk: jnp.ndarray  # bool[B, EF] expanded?
-    vis: jnp.ndarray  # i32[B, V] direct-mapped visited table
+    buf_chk: jnp.ndarray  # i32[B, EF] 1 = expanded
 
 
-def beam_init(
-    seed_id: jnp.ndarray,
-    seed_d: jnp.ndarray,
-    ef: int,
-    visited_slots: int,
-) -> BeamState:
+def beam_init(seed_id: jnp.ndarray, seed_d: jnp.ndarray, ef: int) -> BeamState:
     """Buffer seeded with one entry per query (hnswalg_slim.h:2101-2106)."""
     b = seed_id.shape[0]
     buf_d = jnp.full((b, ef), INF).at[:, 0].set(seed_d)
     buf_id = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(seed_id)
-    buf_chk = jnp.zeros((b, ef), bool)
-    vis = jnp.full((b, visited_slots), -1, jnp.int32)
-    vis = vis.at[jnp.arange(b), seed_id % visited_slots].set(seed_id)
-    return BeamState(buf_d, buf_id, buf_chk, vis)
+    buf_chk = jnp.zeros((b, ef), jnp.int32)
+    return BeamState(buf_d, buf_id, buf_chk)
 
 
 def beam_reseed(state: BeamState, seed_id: jnp.ndarray, seed_d: jnp.ndarray, active):
@@ -130,14 +126,10 @@ def beam_reseed(state: BeamState, seed_id: jnp.ndarray, seed_d: jnp.ndarray, act
     ef = state.buf_d.shape[1]
     new_d = jnp.full((b, ef), INF).at[:, 0].set(seed_d)
     new_id = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(seed_id)
-    vis_seeded = state.vis.at[
-        jnp.arange(b), seed_id % state.vis.shape[1]
-    ].set(seed_id)
     return BeamState(
         jnp.where(active[:, None], new_d, state.buf_d),
         jnp.where(active[:, None], new_id, state.buf_id),
-        jnp.where(active[:, None], False, state.buf_chk),
-        jnp.where(active[:, None], vis_seeded, state.vis),
+        jnp.where(active[:, None], 0, state.buf_chk),
     )
 
 
@@ -161,54 +153,46 @@ def beam_level(
     unchecked candidate exceeds the worst buffered distance.
     """
     b = q.shape[0]
-    rows = jnp.arange(b)
-    vslots = state.vis.shape[1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, ef), 1)
 
     def cond(carry):
-        st, done, iters = carry
+        _, done, iters = carry
         return jnp.any(~done) & (iters < max_iters)
 
     def body(carry):
         st, done, iters = carry
-        buf_d, buf_id, buf_chk, vis = st
-        unchk = (~buf_chk) & (buf_id >= 0)
-        has = jnp.any(unchk, axis=1)
-        sel = jnp.argmax(unchk, axis=1)  # first unchecked = closest (sorted)
-        sel_d = _take(buf_d, sel)
+        buf_d, buf_id, buf_chk = st
+        unchk = (buf_chk == 0) & (buf_id >= 0)
+        # first unchecked position = closest unexpanded (buffer sorted asc)
+        selpos = jnp.min(jnp.where(unchk, pos, ef), axis=1)
+        has = selpos < ef
+        onehot = pos == selpos[:, None]
+        sel_d = jnp.max(jnp.where(onehot, buf_d, -INF), axis=1)
+        vsel = jnp.max(jnp.where(onehot, buf_id, -1), axis=1)
         bound = buf_d[:, ef - 1]  # inf while not full
         qdone = done | ~has | (sel_d > bound)
 
-        vsel = jnp.where(qdone, 0, _take(buf_id, sel))
-        buf_chk = buf_chk.at[rows, sel].set(jnp.where(qdone, _take(buf_chk, sel), True))
+        buf_chk = jnp.where(onehot & ~qdone[:, None], 1, buf_chk)
 
-        ids = fetch(vsel)  # [B, W]
+        ids = fetch(jnp.where(qdone, 0, vsel))  # [B, W]
         valid = (ids >= 0) & ~qdone[:, None]
         safe = jnp.maximum(ids, 0)
-        # dedup against current buffer + visited table
         dup = jnp.any(ids[:, :, None] == buf_id[:, None, :], axis=2)
-        slot = safe % vslots
-        seen = jnp.take_along_axis(vis, slot, axis=1) == ids
-        cand = valid & ~dup & ~seen
+        cand = valid & ~dup
 
         d = distance.gathered_dist(
             q, vectors[safe], metric, qn=qn, vn=vn[safe], precision=precision
         )
         d = jnp.where(cand, d, INF)
 
-        # mark every scanned neighbor visited (hnswlib marks on scan, not pop)
-        old_vals = jnp.take_along_axis(vis, slot, axis=1)
-        vis = vis.at[rows[:, None], slot].set(jnp.where(valid, ids, old_vals))
-
-        # merge: [B, EF+W] -> sorted top-EF
+        # merge via one multi-operand sort (payload gathers are slow on TPU)
         cat_d = jnp.concatenate([buf_d, d], axis=1)
         cat_i = jnp.concatenate([buf_id, jnp.where(cand, ids, -1)], axis=1)
-        cat_c = jnp.concatenate([buf_chk, jnp.zeros_like(d, bool)], axis=1)
-        neg, arg = lax.top_k(-cat_d, ef)
-        buf_d = -neg
-        buf_id = jnp.take_along_axis(cat_i, arg, axis=1)
-        buf_chk = jnp.take_along_axis(cat_c, arg, axis=1)
+        cat_c = jnp.concatenate([buf_chk, jnp.zeros_like(ids)], axis=1)
+        sd, si, sc = lax.sort((cat_d, cat_i, cat_c), dimension=1, num_keys=1)
 
-        return BeamState(buf_d, buf_id, buf_chk, vis), qdone, iters + 1
+        new_st = BeamState(sd[:, :ef], si[:, :ef], sc[:, :ef])
+        return new_st, qdone, iters + 1
 
     out, _, _ = lax.while_loop(cond, body, (state, ~active, jnp.int32(0)))
     return out
@@ -225,7 +209,6 @@ def level_search(
     ef: int,
     k: int,
     max_iters: int,
-    visited_slots: int,
     metric: str,
     precision,
 ):
@@ -244,7 +227,7 @@ def level_search(
             make_dense_fetch(adjs[l]), vectors, vn, q, qn, cur, curdist,
             always, metric, precision,
         )
-    state = beam_init(cur, curdist, ef, visited_slots)
+    state = beam_init(cur, curdist, ef)
     state = beam_level(
         make_dense_fetch(adjs[0]), vectors, vn, q, qn, state, always, ef,
         max_iters, metric, precision,
@@ -267,7 +250,6 @@ def chal_search(
     ef: int,
     k: int,
     max_iters: int,
-    visited_slots: int,
     metric: str,
     precision,
 ):
@@ -290,15 +272,14 @@ def chal_search(
             fetch, vectors, vn, q, qn, cur, curdist, always, metric, precision
         )
 
-    state = beam_init(cur, curdist, ef, visited_slots)
+    state = beam_init(cur, curdist, ef)
     for l in range(min(threshold_level, max_level), -1, -1):
         fetch = make_chal_fetch(graph_nbr, graph_lvl_off, l, cap if l > 0 else cap0)
         state = beam_level(
-            fetch, vectors, vn, q, qn, state, always, ef, max_iters, metric, precision
+            fetch, vectors, vn, q, qn, state, always, ef, max_iters, metric,
+            precision,
         )
         if l > 0:  # reset checked bits: next level re-expands the survivors
-            state = BeamState(
-                state.buf_d, state.buf_id, jnp.zeros_like(state.buf_chk), state.vis
-            )
+            state = BeamState(state.buf_d, state.buf_id, jnp.zeros_like(state.buf_chk))
 
     return state.buf_d[:, :k], state.buf_id[:, :k]

@@ -22,26 +22,33 @@ from ..ops import distance
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_level", "ef", "k", "max_iters", "visited_slots", "metric"),
+    static_argnames=("max_level", "ef", "k", "max_iters", "metric"),
 )
 def _search_jit(adjs, entry, vectors, vn, q, *, max_level, ef, k, max_iters,
-                visited_slots, metric):
+                metric):
     return gs.level_search(
         adjs, entry, vectors, vn, q,
         max_level=max_level, ef=ef, k=k, max_iters=max_iters,
-        visited_slots=visited_slots, metric=metric,
+        metric=metric,
         precision=jax.lax.Precision.HIGHEST,
     )
 
 
 class HnswIndex:
-    """Build-once, query-many vanilla HNSW."""
+    """Build-once, query-many vanilla HNSW.
+
+    strategy="nnd" (default): TPU-native NN-descent kNN graph + heuristic
+    prune/symmetrize (graph/build.py build_by_nnd) — all-batched device work.
+    strategy="insert": reference-faithful bulk-synchronous insertion rounds
+    mirroring hnswalg.h addPoint.
+    """
 
     def __init__(self, cfg: HnswConfig, search_cfg: SearchConfig | None = None,
-                 max_batch: int = 4096):
+                 max_batch: int = 4096, strategy: str = "nnd"):
         self.cfg = cfg
         self.scfg = search_cfg or SearchConfig(ef=cfg.ef_search)
         self.max_batch = max_batch
+        self.strategy = strategy
         self.graph: LevelGraph | None = None
         self.levels: np.ndarray | None = None
         self.vectors = None
@@ -50,13 +57,20 @@ class HnswIndex:
     def build(self, vectors: np.ndarray, verbose: bool = False) -> None:
         self.vectors = jnp.asarray(np.asarray(vectors, np.float32))
         self.vn = distance.sq_norms(self.vectors)
-        self.graph, self.levels = HnswBuilder(self.cfg, self.max_batch).build(
-            vectors, verbose=verbose
-        )
+        if self.strategy == "nnd":
+            from ..graph.build import build_by_nnd
+
+            self.graph, self.levels = build_by_nnd(
+                self.cfg, np.asarray(vectors), verbose=verbose
+            )
+        else:
+            self.graph, self.levels = HnswBuilder(self.cfg, self.max_batch).build(
+                vectors, verbose=verbose
+            )
 
     def set_ef(self, ef: int) -> None:
         self.scfg = SearchConfig(
-            ef=ef, max_iters=self.scfg.max_iters, visited_slots=self.scfg.visited_slots
+            ef=ef, max_iters=self.scfg.max_iters
         )
 
     def search(self, queries: np.ndarray, k: int):
@@ -67,7 +81,7 @@ class HnswIndex:
             g.adjs, g.entry, self.vectors, self.vn,
             jnp.asarray(np.asarray(queries, np.float32)),
             max_level=g.max_level, ef=ef, k=k,
-            max_iters=self.scfg.iters(), visited_slots=self.scfg.visited_slots,
+            max_iters=self.scfg.iters(),
             metric=self.cfg.metric,
         )
         return np.asarray(d), np.asarray(i)

@@ -27,17 +27,17 @@ from .hnsw import HnswIndex
     jax.jit,
     static_argnames=(
         "max_level", "threshold_level", "cap0", "cap", "ef", "k",
-        "max_iters", "visited_slots", "metric",
+        "max_iters", "metric",
     ),
 )
 def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
                      threshold_level, cap0, cap, ef, k, max_iters,
-                     visited_slots, metric):
+                     metric):
     return gs.chal_search(
         nbr, lvl_off, entry, vectors, vn, q,
         max_level=max_level, threshold_level=threshold_level,
         cap0=cap0, cap=cap, ef=ef, k=k, max_iters=max_iters,
-        visited_slots=visited_slots, metric=metric,
+        metric=metric,
         precision=jax.lax.Precision.HIGHEST,
     )
 
@@ -90,7 +90,7 @@ class HnswSlimIndex:
 
     def set_ef(self, ef: int) -> None:
         self.scfg = SearchConfig(
-            ef=ef, max_iters=self.scfg.max_iters, visited_slots=self.scfg.visited_slots
+            ef=ef, max_iters=self.scfg.max_iters
         )
 
     def search(self, queries: np.ndarray, k: int):
@@ -102,7 +102,7 @@ class HnswSlimIndex:
             jnp.asarray(np.asarray(queries, np.float32)),
             max_level=g.max_level, threshold_level=g.threshold_level,
             cap0=g.cap0, cap=g.cap, ef=ef, k=k,
-            max_iters=self.scfg.iters(), visited_slots=self.scfg.visited_slots,
+            max_iters=self.scfg.iters(),
             metric=self.metric,
         )
         return np.asarray(d), np.asarray(i)

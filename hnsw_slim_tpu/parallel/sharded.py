@@ -1,0 +1,195 @@
+"""Mesh-sharded Slim search: the 100M-scale serving path.
+
+The reference serves everything from one host (hnswalg.h:123-124 single
+allocation); its only distribution axis is the HTTP client/server split. On
+TPU the scale axis is the device mesh: nodes are round-robin sharded across
+the "shard" axis (each shard holds its own subgraph + vectors), queries are
+data-parallel over the "dp" axis, and per-shard top-k results are merged with
+an all_gather + sort over ICI (SURVEY §5 "TPU plan").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import HnswConfig, SearchConfig, SlimConfig
+from ..graph import search as gs
+from ..ops import distance
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
+    """2-axis mesh ("dp", "shard"): queries over dp, index nodes over shard."""
+    devs = np.array(jax.devices())
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    dp = dp or (2 if n % 2 == 0 and n > 2 else 1)
+    return Mesh(devs.reshape(dp, n // dp), ("dp", "shard"))
+
+
+def _local_search(nbr, lvl_off, entry, vecs, vn, gids, q, *, max_level,
+                  threshold_level, cap0, cap, ef, k, max_iters, metric):
+    d, i = gs.chal_search(
+        nbr, lvl_off, entry, vecs, vn, q,
+        max_level=max_level, threshold_level=threshold_level, cap0=cap0,
+        cap=cap, ef=ef, k=k, max_iters=max_iters, metric=metric,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    gi = jnp.where(i >= 0, gids[jnp.maximum(i, 0)], -1)
+    d = jnp.where(gi >= 0, d, jnp.inf)  # padded nodes never surface
+    return d, gi
+
+
+class ShardedSlimIndex:
+    """Round-robin sharded Slim index over a jax Mesh.
+
+    Global node g lives on shard g % S as local node g // S. Each shard's
+    subgraph is built independently over its local vectors; a query runs on
+    every shard and the per-shard top-k are merged globally.
+    """
+
+    def __init__(self, mesh: Mesh, metric: str = "l2",
+                 search_cfg: SearchConfig | None = None):
+        self.mesh = mesh
+        self.metric = metric
+        self.scfg = search_cfg or SearchConfig()
+        self.arrays = None  # dict of stacked [S, ...] arrays
+        self.meta = None  # static search params
+
+    @property
+    def n_shards(self) -> int:
+        return self.mesh.shape["shard"]
+
+    def build(self, vectors: np.ndarray, hnsw_cfg: HnswConfig | None = None,
+              slim_cfg: SlimConfig | None = None, verbose: bool = False):
+        from ..index.slim import HnswSlimIndex
+
+        hnsw_cfg = hnsw_cfg or HnswConfig()
+        slim_cfg = slim_cfg or SlimConfig.from_ratios()
+        s = self.n_shards
+        n, dim = vectors.shape
+        n_per = -(-n // s)
+
+        shard_graphs = []
+        for si in range(s):
+            gids = np.arange(si, n, s, dtype=np.int32)
+            local = vectors[gids]
+            if len(gids) < n_per:  # pad the short last shard
+                pad = n_per - len(gids)
+                local = np.concatenate([local, np.repeat(local[:1], pad, 0)])
+                gids = np.concatenate([gids, np.full(pad, -1, np.int32)])
+            idx = HnswSlimIndex.build(local, hnsw_cfg, slim_cfg)
+            shard_graphs.append((idx, gids))
+            if verbose:
+                print(f"  shard {si}: {idx.index_size()} graph bytes")
+
+        self._stack(shard_graphs, dim, slim_cfg)
+        return self
+
+    def _stack(self, shard_graphs, dim, slim_cfg):
+        s = len(shard_graphs)
+        lmax = max(g.graph.max_level for g, _ in shard_graphs)
+        e_pad = max(g.graph.nbr.shape[0] for g, _ in shard_graphs)
+        n_per = shard_graphs[0][0].graph.n
+
+        nbr = np.full((s, e_pad), -1, np.int32)
+        off = np.zeros((s, n_per, lmax + 2), np.int32)
+        lvl = np.zeros((s, n_per), np.int32)
+        ent = np.zeros((s,), np.int32)
+        vecs = np.zeros((s, n_per, dim), np.float32)
+        gid = np.zeros((s, n_per), np.int32)
+        for i, (g, gids) in enumerate(shard_graphs):
+            gr = g.graph
+            nbr[i, : gr.nbr.shape[0]] = np.asarray(gr.nbr)
+            o = np.asarray(gr.lvl_off)
+            off[i, :, : o.shape[1]] = o
+            off[i, :, o.shape[1] :] = o[:, -1:]  # saturate missing levels
+            lvl[i] = np.asarray(gr.level)
+            ent[i] = int(np.asarray(gr.entry))
+            vecs[i] = np.asarray(g.vectors)
+            gid[i] = gids
+
+        mesh = self.mesh
+        sh = lambda *spec: NamedSharding(mesh, P(*spec))
+        self.arrays = dict(
+            nbr=jax.device_put(nbr, sh("shard")),
+            off=jax.device_put(off, sh("shard")),
+            ent=jax.device_put(ent, sh("shard")),
+            vecs=jax.device_put(vecs, sh("shard")),
+            vn=jax.device_put(
+                (vecs.astype(np.float32) ** 2).sum(-1), sh("shard")
+            ),
+            gid=jax.device_put(gid, sh("shard")),
+        )
+        g0 = shard_graphs[0][0].graph
+        self.meta = dict(
+            max_level=lmax, threshold_level=g0.threshold_level,
+            cap0=g0.cap0, cap=g0.cap,
+        )
+
+    def search(self, queries: np.ndarray, k: int):
+        q = np.asarray(queries, np.float32)
+        b = q.shape[0]
+        dp = self.mesh.shape["dp"]
+        bpad = -(-b // dp) * dp
+        if bpad != b:
+            q = np.concatenate([q, np.repeat(q[:1], bpad - b, 0)])
+        ef = max(self.scfg.ef, k)
+        d, i = _sharded_search_jit(
+            self.mesh, self.arrays, jnp.asarray(q), ef=ef, k=k,
+            max_iters=self.scfg.iters(), metric=self.metric, **self.meta,
+        )
+        return np.asarray(d)[:b], np.asarray(i)[:b]
+
+    def index_size(self) -> int:
+        nbr = np.asarray(self.arrays["nbr"])
+        off = np.asarray(self.arrays["off"])
+        total_nbrs = int((off[:, :, -1] - off[:, :, 0]).sum())
+        n_total = off.shape[0] * off.shape[1]
+        return 24 * n_total + 4 * total_nbrs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "ef", "k", "max_iters", "metric", "max_level",
+        "threshold_level", "cap0", "cap",
+    ),
+)
+def _sharded_search_jit(mesh, arrays, q, *, ef, k, max_iters, metric,
+                        max_level, threshold_level, cap0, cap):
+    def fn(nbr, off, ent, vecs, vn, gid, q):
+        # block views: leading shard dim is 1 inside shard_map
+        d, gi = _local_search(
+            nbr[0], off[0], ent[0], vecs[0], vn[0], gid[0], q,
+            max_level=max_level, threshold_level=threshold_level,
+            cap0=cap0, cap=cap, ef=ef, k=k, max_iters=max_iters,
+            metric=metric,
+        )
+        # merge across shards over ICI
+        dg = lax.all_gather(d, "shard")  # [S, b, k]
+        ig = lax.all_gather(gi, "shard")
+        b = q.shape[0]
+        s = dg.shape[0]
+        cat_d = jnp.moveaxis(dg, 0, 1).reshape(b, s * k)
+        cat_i = jnp.moveaxis(ig, 0, 1).reshape(b, s * k)
+        sd, si = lax.sort((cat_d, cat_i), dimension=1, num_keys=1)
+        return sd[:, :k], si[:, :k]
+
+    mapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(
+            P("shard"), P("shard"), P("shard"), P("shard"), P("shard"),
+            P("shard"), P("dp", None),
+        ),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,
+    )
+    a = arrays
+    return mapped(a["nbr"], a["off"], a["ent"], a["vecs"], a["vn"], a["gid"], q)

@@ -69,7 +69,7 @@ def test_beam_search_knn_graph_recall():
     d, ids = gs.chal_search(
         g.nbr, g.lvl_off, g.entry, vecs, vn, jnp.asarray(queries),
         max_level=0, threshold_level=0, cap0=24, cap=24, ef=64, k=k,
-        max_iters=300, visited_slots=1024, metric="l2", precision=P,
+        max_iters=300, metric="l2", precision=P,
     )
     ids = np.asarray(ids)
     d = np.asarray(d)

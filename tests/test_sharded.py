@@ -1,0 +1,40 @@
+"""Mesh-sharded search on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+
+from hnsw_slim_tpu.config import HnswConfig, SlimConfig
+from hnsw_slim_tpu.index.bruteforce import BruteForceIndex
+from hnsw_slim_tpu.parallel.sharded import ShardedSlimIndex, make_mesh
+from hnsw_slim_tpu.utils.data import clustered
+
+
+def test_sharded_search_recall():
+    assert len(jax.devices()) == 8, jax.devices()
+    mesh = make_mesh(8, dp=2)
+    assert mesh.shape == {"dp": 2, "shard": 4}
+
+    base, queries = clustered(n=2400, dim=16, n_queries=30, seed=42)
+    idx = ShardedSlimIndex(mesh)
+    idx.build(
+        base,
+        hnsw_cfg=HnswConfig(M=12, ef_construction=64),
+        slim_cfg=SlimConfig.from_ratios(),
+    )
+    idx.scfg = type(idx.scfg)(ef=64)
+
+    bf = BruteForceIndex(base, chunk=1024)
+    _, gt = bf.search(queries, k=10)
+    d, ids = idx.search(queries, k=10)
+    assert ids.shape == (30, 10)
+    hits = sum(len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt))
+    recall = hits / gt.size
+    assert recall >= 0.9, recall
+    # merged distances ascending and true
+    valid = ids >= 0
+    true_d = ((queries[:, None, :] - base[np.maximum(ids, 0)]) ** 2).sum(-1)
+    np.testing.assert_allclose(d[valid], true_d[valid], rtol=1e-3, atol=1e-3)
+
+    # odd batch size (not divisible by dp)
+    d1, i1 = idx.search(queries[:3], k=5)
+    assert i1.shape == (3, 5)
