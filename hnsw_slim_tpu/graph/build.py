@@ -502,7 +502,59 @@ class HnswBuilder:
 
         entry = 0
         cur_maxlevel = int(levels[0])
-        done = 1  # point 0 inserted trivially (no peers to link)
+        start = 1  # point 0 inserted trivially (no peers to link)
+        entry, cur_maxlevel = self._insert_range(
+            start, n, levels, entry, cur_maxlevel, vecs, vn, adj_np, adj_dev,
+            lmax, verbose,
+        )
+
+        return LevelGraph(
+            adjs=tuple(jnp.asarray(a) for a in adj_np),
+            level=jnp.asarray(levels),
+            entry=jnp.asarray(np.int32(entry)),
+            max_level=lmax,
+        ), levels
+
+    def extend(self, graph: LevelGraph, levels_old: np.ndarray,
+               vectors_all: np.ndarray, n_old: int, verbose: bool = False):
+        """Insert vectors_all[n_old:] into an existing graph (the server-side
+        /updateIndex path: omp-parallel addPoint, hnsw_slim_server.cc:128-135).
+        Returns (LevelGraph, levels) covering all vectors."""
+        cfg = self.cfg
+        n = vectors_all.shape[0]
+        new_levels = sample_levels(n - n_old, cfg.mult, cfg.seed + n_old)
+        levels = np.concatenate([levels_old, new_levels]).astype(np.int32)
+        lmax_old = graph.max_level
+        lmax = max(lmax_old, int(new_levels.max(initial=0)))
+        caps = [cfg.maxM0] + [cfg.maxM] * lmax
+
+        vecs = jnp.asarray(np.asarray(vectors_all, np.float32))
+        vn = distance.sq_norms(vecs)
+        adj_np = []
+        for l in range(lmax + 1):
+            a = np.full((n, caps[l]), -1, np.int32)
+            if l <= lmax_old:
+                old = np.asarray(graph.adjs[l])
+                a[: old.shape[0], : old.shape[1]] = old
+            adj_np.append(a)
+        adj_dev = [jnp.asarray(a) for a in adj_np]
+
+        entry = int(np.asarray(graph.entry))
+        cur_maxlevel = lmax_old
+        entry, cur_maxlevel = self._insert_range(
+            n_old, n, levels, entry, cur_maxlevel, vecs, vn, adj_np, adj_dev,
+            lmax, verbose,
+        )
+        return LevelGraph(
+            adjs=tuple(jnp.asarray(a) for a in adj_np),
+            level=jnp.asarray(levels),
+            entry=jnp.asarray(np.int32(entry)),
+            max_level=lmax,
+        ), levels
+
+    def _insert_range(self, start, n, levels, entry, cur_maxlevel, vecs, vn,
+                      adj_np, adj_dev, lmax, verbose):
+        done = start
         while done < n:
             bsz = min(self._batch_size(done), n - done)
             ids = np.arange(done, done + bsz)
@@ -518,13 +570,7 @@ class HnswBuilder:
             done += bsz
             if verbose and done % 65536 < bsz:
                 print(f"  built {done}/{n}")
-
-        return LevelGraph(
-            adjs=tuple(jnp.asarray(a) for a in adj_np),
-            level=jnp.asarray(levels),
-            entry=jnp.asarray(np.int32(entry)),
-            max_level=lmax,
-        ), levels
+        return entry, cur_maxlevel
 
     def _batch_size(self, cur: int) -> int:
         # batch never exceeds current graph size: early rounds stay

@@ -48,6 +48,82 @@ def _prune_one(cand_d, pd, valid, m, keep_all_under_m: bool):
     return kept, cnt
 
 
+def _prune_one_guarded(cand_d, pd, valid, guard, m):
+    """SlimZero variant (hnswalg_slimzero.h PruneByHeuristic :820-894):
+    pass 1 reserves every candidate whose in-degree guard is set,
+    unconditionally and in distance order; pass 2 fills the rest by the RNG
+    rule against ALL kept entries, capped at m total."""
+    c = cand_d.shape[0]
+    masked_d = jnp.where(valid, cand_d, INF)
+    order = jnp.argsort(masked_d)
+
+    kept0 = valid & guard  # pass 1: reserved low-indegree nodes
+    cnt0 = jnp.sum(kept0.astype(jnp.int32))
+
+    def body(i, carry):
+        kept, cnt = carry
+        ci = order[i]
+        di = cand_d[ci]
+        conflict = jnp.any(kept & (pd[:, ci] < di))
+        good = valid[ci] & ~guard[ci] & (cnt < m) & ~conflict
+        kept = kept.at[ci].set(kept[ci] | good)
+        return kept, cnt + good.astype(jnp.int32)
+
+    kept, cnt = lax.fori_loop(0, c, body, (kept0, cnt0))
+    return kept, cnt
+
+
+@functools.partial(
+    jax.jit, static_argnames=("M", "metric", "out_width")
+)
+def prune_batch_guarded(
+    vectors: jnp.ndarray,
+    vn: jnp.ndarray,
+    base_ids: jnp.ndarray,
+    cand_ids: jnp.ndarray,
+    valid: jnp.ndarray,
+    guard: jnp.ndarray,  # bool[B, C]: candidate indegree <= min_indegree
+    *,
+    M: int,
+    metric: str = "l2",
+    out_width: int = 0,
+    precision=jax.lax.Precision.HIGHEST,
+    m_per_row: jnp.ndarray | None = None,
+):
+    """Batched SlimZero guarded prune. Guarded candidates are always kept
+    (connectivity preserved by the in-degree floor instead of reverse-edge
+    augmentation, hnswalg_slimzero.h:966-1000)."""
+    w = out_width or M
+    safe = jnp.maximum(cand_ids, 0)
+    cvecs = vectors[safe].astype(jnp.float32)
+    cn = vn[safe]
+    bvec = vectors[base_ids].astype(jnp.float32)
+    bn = vn[base_ids]
+    cand_d = distance.gathered_dist(
+        bvec, cvecs, metric, qn=bn, vn=cn, precision=precision
+    )
+    dots = jnp.einsum(
+        "bcd,bed->bce", cvecs, cvecs, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    pd = 1.0 - dots if metric == "ip" else (
+        cn[:, :, None] + cn[:, None, :] - 2.0 * dots
+    )
+    valid = valid & (cand_ids >= 0) & (cand_ids != base_ids[:, None])
+    if m_per_row is None:
+        m_per_row = jnp.full((cand_ids.shape[0],), M, jnp.int32)
+    kept, cnt = jax.vmap(_prune_one_guarded)(cand_d, pd, valid, guard & valid,
+                                             m_per_row)
+    key = jnp.where(kept, cand_d, INF)
+    order = jnp.argsort(key, axis=1)[:, :w]
+    sel = jnp.take_along_axis(cand_ids, order, axis=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1)
+    sel = jnp.where(pos < cnt[:, None], sel, -1)
+    if sel.shape[1] < w:
+        sel = jnp.pad(sel, ((0, 0), (0, w - sel.shape[1])), constant_values=-1)
+    return sel, cnt
+
+
 @functools.partial(
     jax.jit, static_argnames=("M", "keep_all_under_m", "metric", "out_width")
 )

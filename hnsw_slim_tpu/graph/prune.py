@@ -200,6 +200,151 @@ def convert_to_slim(
     )
 
 
+def level_indegrees(adj_np: list[np.ndarray], levels: np.ndarray) -> list[np.ndarray]:
+    """Per-(node, level) in-degree of the donor graph
+    (hnswalg_slimzero.h:966-1000 scatter-add pass)."""
+    n = len(levels)
+    out = []
+    for l, a in enumerate(adj_np):
+        act = levels >= l
+        vals = a[act].reshape(-1)
+        vals = vals[vals >= 0]
+        out.append(np.bincount(vals, minlength=n).astype(np.int64))
+    return out
+
+
+def convert_to_slimzero(
+    lg: LevelGraph,
+    vectors: jnp.ndarray,
+    vn: jnp.ndarray,
+    cfg: SlimConfig,
+    metric: str = "l2",
+    count_level0_hubs: bool = False,
+    chunk: int = 2048,
+    verbose: bool = False,
+) -> ChalGraph:
+    """SlimZero conversion (hnswalg_slimzero.h convertFromHNSW :940-1150):
+    same hub/low budgets, but NO reverse-edge union — connectivity is
+    preserved by an in-degree guard instead: any neighbor whose in-degree is
+    <= min_indegree is kept unconditionally.
+
+    Deviation from the reference: the reference decrements a shared atomic
+    in-degree array as it prunes (OpenMP order-dependent); here the guard
+    uses a snapshot of donor in-degrees, then one repair iteration restores
+    the nearest in-edge of any node whose post-prune in-degree fell below
+    the floor. Same invariant, deterministic result.
+    """
+    from .heuristic import prune_batch_guarded
+
+    levels = np.asarray(lg.level)
+    n = len(levels)
+    lmax = lg.max_level
+    adj_np = [np.asarray(a) for a in lg.adjs]
+    maxM0 = adj_np[0].shape[1]
+    maxM = adj_np[1].shape[1] if lmax >= 1 else maxM0 // 2
+
+    thr = degree_thresholds(adj_np, levels, maxM0, cfg, count_level0_hubs)
+    indeg = level_indegrees(adj_np, levels)
+
+    final_rows: list[np.ndarray] = []
+    for l in range(lmax + 1):
+        act = np.nonzero(levels >= l)[0]
+        a = adj_np[l][act]
+        deg = (a >= 0).sum(axis=1)
+        if l == 0:
+            budget = np.where(deg > thr[l], cfg.top_M0, cfg.low_m0)
+            cap_l, m_rev = maxM0, cfg.min_indegree0
+        else:
+            budget = np.where(deg > thr[l], cfg.top_M, cfg.low_m)
+            cap_l, m_rev = maxM, cfg.min_indegree
+        guard = indeg[l][np.maximum(a, 0)] <= m_rev
+
+        rows = np.full((len(act), a.shape[1]), -1, np.int32)
+        for s in range(0, len(act), chunk):
+            ck = slice(s, min(s + chunk, len(act)))
+            cpad = _pad(a[ck])
+            sel, _ = prune_batch_guarded(
+                vectors, vn,
+                jnp.asarray(_pad(act[ck], fill=0)),
+                jnp.asarray(cpad),
+                jnp.asarray(cpad >= 0),
+                jnp.asarray(_pad(guard[ck], fill=0).astype(bool)),
+                M=int(a.shape[1]), metric=metric, out_width=int(a.shape[1]),
+                m_per_row=jnp.asarray(_pad(budget[ck].astype(np.int32), fill=1)),
+            )
+            rows[ck] = np.asarray(sel)[: ck.stop - ck.start]
+
+        # repair pass: restore the closest donor in-edge of any node whose
+        # post-prune in-degree fell below the floor
+        post = np.bincount(
+            rows.reshape(-1)[rows.reshape(-1) >= 0], minlength=n
+        )
+        starved = np.nonzero(
+            (post < min(m_rev, 1)) & (levels >= l)
+        )[0] if len(act) else []
+        # (min(m_rev,1): only fully-orphaned nodes; the snapshot guard keeps
+        # nearly all low-indegree edges already)
+        row_of = np.full(n, -1, np.int64)
+        row_of[act] = np.arange(len(act))
+        for u in starved:
+            srcs = np.nonzero((adj_np[l][act] == u).any(axis=1))[0]
+            if len(srcs):
+                r = int(srcs[0])
+                empty = np.nonzero(rows[r] < 0)[0]
+                slot = empty[0] if len(empty) else rows.shape[1] - 1
+                rows[r, slot] = u
+
+        # cap re-prune where over (plain PruneByHeuristic, :1085-1105)
+        counts = (rows >= 0).sum(axis=1)
+        over = np.nonzero(counts > cap_l)[0]
+        out_rows = np.full((len(act), cap_l), -1, np.int32)
+        under = counts <= cap_l
+        w = min(cap_l, rows.shape[1])
+        out_rows[under, :w] = _sort_row_ids(rows[under])[:, :w]
+        if len(over):
+            for s in range(0, len(over), chunk):
+                ck = slice(s, min(s + chunk, len(over)))
+                cpad = _pad(rows[over][ck])
+                sel, _ = prune_batch(
+                    vectors, vn,
+                    jnp.asarray(_pad(act[over][ck], fill=0)),
+                    jnp.asarray(cpad),
+                    jnp.asarray(cpad >= 0),
+                    M=cap_l, keep_all_under_m=False, metric=metric,
+                    out_width=cap_l,
+                )
+                out_rows[over[ck]] = _sort_row_ids(
+                    np.asarray(sel)[: ck.stop - ck.start]
+                )
+        rows = out_rows
+
+        # hierarchical filter (same as Slim)
+        if l != cfg.threshold_level:
+            keep = (rows >= 0) & (levels[np.maximum(rows, 0)] == l)
+            rows = _sort_row_ids(np.where(keep, rows, -1))
+
+        full = np.full((n, rows.shape[1]), -1, np.int32)
+        full[act] = rows
+        if l == cfg.threshold_level:
+            from .build import repair_connectivity
+
+            full[act] = repair_connectivity(
+                full[act], act.astype(np.int32), vectors, vn, metric
+            )
+        final_rows.append(full)
+        if verbose:
+            print(f"  slimzero level {l}: thr={thr[l]} edges={(full >= 0).sum()}")
+
+    return pack_chal_arrays(
+        final_rows, levels,
+        entry=int(np.asarray(lg.entry)),
+        max_level=lmax,
+        threshold_level=cfg.threshold_level,
+        cap0=maxM0,
+        cap=maxM,
+    )
+
+
 def _pad(a: np.ndarray, fill: int = -1) -> np.ndarray:
     m = _next_pow2(a.shape[0])
     if m == a.shape[0]:

@@ -68,6 +68,20 @@ class HnswIndex:
                 vectors, verbose=verbose
             )
 
+    def add_points(self, new_vectors: np.ndarray, verbose: bool = False) -> None:
+        """Incremental insertion into the existing graph (reference addPoint
+        loop, hnsw_slim_server.cc:128-135). Uses the insertion strategy
+        regardless of how the base graph was built."""
+        all_vecs = np.concatenate(
+            [np.asarray(self.vectors), np.asarray(new_vectors, np.float32)]
+        )
+        n_old = self.graph.n
+        self.graph, self.levels = HnswBuilder(self.cfg, self.max_batch).extend(
+            self.graph, self.levels[:n_old], all_vecs, n_old, verbose=verbose
+        )
+        self.vectors = jnp.asarray(all_vecs)
+        self.vn = distance.sq_norms(self.vectors)
+
     def set_ef(self, ef: int) -> None:
         self.scfg = SearchConfig(
             ef=ef, max_iters=self.scfg.max_iters

@@ -1,0 +1,208 @@
+"""Incremental-update patch protocol: diff, chunked encode, apply.
+
+Reference: convertFromHNSWWithDiff detects changed nodes by comparing each
+node's CHAL block against the previous one (hnswalg_slim.h:1360-1382),
+genPatch streams them in size-limited chunks with a `finished` flag
+(:1427-1476), and patchFromStream applies records in place (:2205-2385).
+
+Here the comparison is logical (per-level neighbor id sets in canonical
+sorted order) rather than byte memcmp — the array engine has no
+pointer-block bytes — and application rebuilds the flat CHAL arrays.
+
+Record wire format (little-endian), preserving the reference's
+[id][header][offsets][neighbor ids][optional vector] field order:
+    u32 id | i32 level | u32 total | u32 rel_end[level+1] | i32 nbr[total]
+    | (f32 vec[dim] if has_vectors)
+Chunk header: u32 magic 'HSLP' | u32 version | u64 cur_count | u32 n_records
+    | u8 has_vectors | u8 finished | u16 pad | u32 dim
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.types import ChalGraph
+
+MAGIC = 0x48534C50  # 'HSLP'
+VERSION = 1
+_HDR = struct.Struct("<IIQIBBHI")
+
+
+def node_slices(chal_np: dict, v: int) -> list[np.ndarray]:
+    """Per-level neighbor arrays of node v (canonical: sorted ascending)."""
+    off = chal_np["lvl_off"][v]
+    lv = int(chal_np["level"][v])
+    nbr = chal_np["nbr"]
+    return [np.sort(nbr[off[l] : off[l + 1]]) for l in range(lv + 1)]
+
+
+def to_np(chal: ChalGraph) -> dict:
+    return dict(
+        nbr=np.asarray(chal.nbr),
+        lvl_off=np.asarray(chal.lvl_off),
+        level=np.asarray(chal.level),
+    )
+
+
+def compute_diff(old: ChalGraph, new: ChalGraph) -> tuple[list[int], list[int]]:
+    """(changed_old, changed_new) node ids (hnswalg_slim.h:1360-1382):
+    new = ids beyond the old element count; old = ids whose logical CHAL
+    content changed."""
+    o, n = to_np(old), to_np(new)
+    prev_count = len(o["level"])
+    changed_old, changed_new = [], []
+    # vectorized prefilter: nodes whose per-level sizes differ
+    lmax = min(o["lvl_off"].shape[1], n["lvl_off"].shape[1])
+    o_sizes = np.diff(o["lvl_off"][:, :lmax], axis=1)
+    n_sizes = np.diff(n["lvl_off"][:prev_count, :lmax], axis=1)
+    maybe = np.nonzero(
+        (o_sizes != n_sizes).any(axis=1)
+        | (o["level"] != n["level"][:prev_count])
+    )[0].tolist()
+    same_size = np.nonzero(
+        (o_sizes == n_sizes).all(axis=1)
+        & (o["level"] == n["level"][:prev_count])
+    )[0]
+    for v in maybe:
+        changed_old.append(int(v))
+    for v in same_size:
+        a = node_slices(o, int(v))
+        b = node_slices(n, int(v))
+        if any(not np.array_equal(x, y) for x, y in zip(a, b)):
+            changed_old.append(int(v))
+    changed_new = list(range(prev_count, len(n["level"])))
+    return sorted(changed_old), changed_new
+
+
+class PatchWriter:
+    """Chunked patch generator (genPatch :1427-1476): call next_chunk until
+    finished=True."""
+
+    def __init__(self, chal: ChalGraph, changed_old, changed_new,
+                 vectors: np.ndarray | None = None):
+        self.chal_np = to_np(chal)
+        self.cur_count = len(self.chal_np["level"])
+        self.old = list(changed_old)
+        self.new = list(changed_new)
+        self.vectors = vectors
+        self.ind_old = 0
+        self.ind_new = 0
+
+    def _record(self, v: int, with_vec: bool) -> bytes:
+        c = self.chal_np
+        lv = int(c["level"][v])
+        off = c["lvl_off"][v]
+        start = int(off[0])
+        rel = (off[1 : lv + 2] - start).astype(np.uint32)
+        ids = c["nbr"][start : int(off[lv + 1])].astype(np.int32)
+        out = struct.pack("<iii", v, lv, len(ids))
+        out += rel.tobytes() + ids.tobytes()
+        if with_vec and self.vectors is not None:
+            out += np.asarray(self.vectors[v], np.float32).tobytes()
+        return out
+
+    def next_chunk(self, limit: int = 200 * 1024 * 1024) -> tuple[bytes, bool]:
+        buf = io.BytesIO()
+        n_records = 0
+        written = 0
+        has_vec = self.vectors is not None
+        dim = self.vectors.shape[1] if has_vec else 0
+        body = io.BytesIO()
+        while self.ind_old < len(self.old) and written < limit:
+            r = self._record(self.old[self.ind_old], with_vec=False)
+            body.write(struct.pack("<B", 0) + r)
+            written += len(r) + 1
+            self.ind_old += 1
+            n_records += 1
+        while (self.ind_old >= len(self.old) and self.ind_new < len(self.new)
+               and written < limit):
+            r = self._record(self.new[self.ind_new], with_vec=has_vec)
+            body.write(struct.pack("<B", 1) + r)
+            written += len(r) + 1
+            self.ind_new += 1
+            n_records += 1
+        finished = self.ind_old >= len(self.old) and self.ind_new >= len(self.new)
+        buf.write(
+            _HDR.pack(MAGIC, VERSION, self.cur_count, n_records,
+                      1 if has_vec else 0, 1 if finished else 0, 0, dim)
+        )
+        buf.write(body.getvalue())
+        return buf.getvalue(), finished
+
+
+def apply_patch(
+    chal: ChalGraph, patch: bytes, vectors: np.ndarray | None = None
+) -> tuple[ChalGraph, np.ndarray | None]:
+    """patchFromStream (:2292-2340): overwrite/extend node records, rebuild
+    the flat arrays. Idempotent: re-applying yields the same graph."""
+    magic, ver, cur_count, n_records, has_vec, _fin, _, dim = _HDR.unpack_from(
+        patch, 0
+    )
+    if magic != MAGIC or ver != VERSION:
+        raise ValueError("bad patch header")
+    pos = _HDR.size
+
+    c = to_np(chal)
+    prev_count = len(c["level"])
+    slices = {}  # v -> (level, [np arrays per level])
+    new_vecs = {}
+    for _ in range(n_records):
+        (is_new,) = struct.unpack_from("<B", patch, pos)
+        pos += 1
+        v, lv, total = struct.unpack_from("<iii", patch, pos)
+        pos += 12
+        rel = np.frombuffer(patch, np.uint32, lv + 1, pos)
+        pos += 4 * (lv + 1)
+        ids = np.frombuffer(patch, np.int32, total, pos)
+        pos += 4 * total
+        starts = np.concatenate([[0], rel[:-1]]).astype(np.int64)
+        slices[v] = (lv, [ids[s:e] for s, e in zip(starts, rel)])
+        if is_new and has_vec:
+            new_vecs[v] = np.frombuffer(patch, np.float32, dim, pos)
+            pos += 4 * dim
+
+    n_total = max(int(cur_count), prev_count)
+    lmax_new = max(
+        [chal.max_level] + [lv for lv, _ in slices.values()]
+    )
+    per_level = [
+        np.full((n_total, max(chal.cap0, chal.cap)), -1, np.int32)
+        for _ in range(lmax_new + 1)
+    ]
+    levels = np.zeros(n_total, np.int32)
+    levels[:prev_count] = c["level"]
+    for v in range(prev_count):
+        if v in slices:
+            continue
+        off = c["lvl_off"][v]
+        for l in range(int(levels[v]) + 1):
+            row = c["nbr"][off[l] : off[l + 1]]
+            per_level[l][v, : len(row)] = row
+    for v, (lv, rows) in slices.items():
+        levels[v] = lv
+        for l, row in enumerate(rows):
+            per_level[l][v, : len(row)] = row
+
+    if vectors is not None and new_vecs:
+        d = vectors.shape[1]
+        grown = np.zeros((n_total, d), np.float32)
+        grown[: len(vectors)] = vectors
+        for v, vec in new_vecs.items():
+            grown[v] = vec
+        vectors = grown
+
+    from ..graph.prune import pack_chal_arrays
+
+    new_chal = pack_chal_arrays(
+        per_level, levels,
+        entry=int(np.asarray(chal.entry)),
+        max_level=lmax_new,
+        threshold_level=chal.threshold_level,
+        cap0=chal.cap0,
+        cap=chal.cap,
+    )
+    return new_chal, vectors

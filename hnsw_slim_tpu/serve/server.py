@@ -1,0 +1,231 @@
+"""HTTP serving daemon: query + incremental-update protocol.
+
+TPU-native counterpart of hnsw_slim_server.cc / hnsw_slim_server_patch.cc:
+the server owns the mutable vanilla HNSW plus its Slim mirror; /updateIndex
+inserts a batch, re-prunes the whole graph, and ships only the changed-node
+patch; /getLastBatch streams size-limited patch chunks with a finished flag
+(hnsw_slim_server_patch.cc:253-296). Wire messages are protobuf
+(serve/query.proto); patches are the binary record stream from persist/patch.
+
+Queries are micro-batched: concurrent /query requests within a small window
+are fused into one device call (the reference serves one query per request,
+hnsw_server.cc:69-96 — batching is the TPU-native upgrade).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import zlib
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..config import HnswConfig, SlimConfig
+from ..index.hnsw import HnswIndex
+from ..index.slim import HnswSlimIndex
+from ..persist import patch as patchlib
+from . import query_pb2
+
+
+class _Batcher:
+    """Fuse concurrent single-query requests into one device call."""
+
+    def __init__(self, index, window_ms: float = 2.0, max_batch: int = 256):
+        self.index = index
+        self.window = window_ms / 1e3
+        self.max_batch = max_batch
+        self.lock = threading.Lock()
+        self.pending: list = []
+        self.cv = threading.Condition(self.lock)
+
+    def query(self, vec: np.ndarray, k: int):
+        slot = {"vec": vec, "k": k, "done": threading.Event(), "out": None}
+        with self.lock:
+            self.pending.append(slot)
+            leader = len(self.pending) == 1
+        if leader:
+            time.sleep(self.window)
+            with self.lock:
+                batch, self.pending = self.pending, []
+            kmax = max(s["k"] for s in batch)
+            q = np.stack([s["vec"] for s in batch])
+            d, i = self.index.search(q, k=kmax)
+            for r, s in enumerate(batch):
+                s["out"] = (d[r, : s["k"]], i[r, : s["k"]])
+                s["done"].set()
+        slot["done"].wait(timeout=60.0)
+        if slot["out"] is None:  # leader raced away without us; run solo
+            d, i = self.index.search(vec[None], k=k)
+            return d[0], i[0]
+        return slot["out"]
+
+
+class SlimServer:
+    def __init__(
+        self,
+        base_vectors: np.ndarray,
+        hnsw_cfg: HnswConfig | None = None,
+        slim_cfg: SlimConfig | None = None,
+        build_strategy: str = "nnd",
+        host: str = "0.0.0.0",
+        port: int = 8080,
+        patch_chunk_bytes: int = 200 * 1024 * 1024,  # hnsw_slim_server_patch.cc:154
+    ):
+        self.hnsw_cfg = hnsw_cfg or HnswConfig()
+        self.slim_cfg = slim_cfg or SlimConfig.from_ratios()
+        self.hnsw = HnswIndex(self.hnsw_cfg, strategy=build_strategy)
+        self.hnsw.build(np.asarray(base_vectors, np.float32))
+        self.slim = HnswSlimIndex.from_hnsw(self.hnsw, self.slim_cfg)
+        self.deleted = np.zeros(self.hnsw.graph.n, bool)
+        self.lock = threading.Lock()
+        self.batcher = _Batcher(self.slim)
+        self.pending_writer: patchlib.PatchWriter | None = None
+        self.patch_chunk_bytes = patch_chunk_bytes
+        self.host, self.port = host, port
+        self._httpd = None
+
+    # ---- operations -------------------------------------------------
+
+    def query(self, vec: np.ndarray, k: int):
+        d, i = self.batcher.query(vec, k)
+        if self.deleted.any():
+            keep = ~self.deleted[np.maximum(i, 0)] & (i >= 0)
+            i, d = i[keep][:k], d[keep][:k]
+        return d, i
+
+    def set_ef(self, ef: int) -> None:
+        self.slim.set_ef(ef)
+
+    def update_index(self, new_vectors: np.ndarray) -> patchlib.PatchWriter:
+        """Insert + full re-prune + diff (hnsw_slim_server.cc:115-142)."""
+        with self.lock:
+            old_graph = self.slim.graph
+            self.hnsw.add_points(new_vectors)
+            self.slim = HnswSlimIndex.from_hnsw(self.hnsw, self.slim_cfg)
+            self.batcher.index = self.slim
+            self.deleted = np.resize(self.deleted, self.hnsw.graph.n)
+            self.deleted[-len(new_vectors):] = False
+            changed_old, changed_new = patchlib.compute_diff(
+                old_graph, self.slim.graph
+            )
+            writer = patchlib.PatchWriter(
+                self.slim.graph, changed_old, changed_new,
+                vectors=np.asarray(self.slim.vectors),
+            )
+            self.pending_writer = writer
+            return writer
+
+    def mark_delete(self, ids) -> int:
+        """markDelete (hnsw_slim_server_patch.cc:230-241)."""
+        with self.lock:
+            ids = np.asarray(ids, np.int64)
+            ids = ids[(ids >= 0) & (ids < len(self.deleted))]
+            self.deleted[ids] = True
+            return int(len(ids))
+
+    # ---- HTTP -------------------------------------------------------
+
+    def serve_forever(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                pass
+
+            def _body(self):
+                length = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(length)
+                if self.headers.get("Content-Encoding") == "deflate":
+                    data = zlib.decompress(data)
+                return data
+
+            def _send(self, data: bytes, ctype="application/octet-stream",
+                      extra=None):
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                for k, v in (extra or {}).items():
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_POST(self):
+                try:
+                    if self.path == "/query":
+                        req = query_pb2.QueryRequest()
+                        req.ParseFromString(self._body())
+                        d, i = server.query(
+                            np.asarray(req.vector, np.float32), req.k or 10
+                        )
+                        resp = query_pb2.QueryResponse(
+                            labels=[int(x) for x in i],
+                            distances=[float(x) for x in d],
+                        )
+                        self._send(resp.SerializeToString())
+                    elif self.path == "/setEf":
+                        req = query_pb2.SetEfRequest()
+                        req.ParseFromString(self._body())
+                        server.set_ef(req.ef)
+                        self._send(
+                            query_pb2.SetEfResponse(success=True)
+                            .SerializeToString()
+                        )
+                    elif self.path == "/updateIndex":
+                        req = query_pb2.UpdateIndexRequest()
+                        req.ParseFromString(self._body())
+                        vecs = np.asarray(
+                            [list(v.vector) for v in req.vectors], np.float32
+                        )
+                        writer = server.update_index(vecs)
+                        blob, finished = writer.next_chunk(
+                            server.patch_chunk_bytes
+                        )
+                        self._send(blob, extra={"X-Patch-Finished": str(int(finished))})
+                    elif self.path == "/markDelete":
+                        ids = json.loads(self._body())
+                        n = server.mark_delete(ids)
+                        self._send(json.dumps({"deleted": n}).encode(),
+                                   "application/json")
+                    else:
+                        self.send_error(404)
+                except Exception as e:  # pragma: no cover
+                    self.send_error(500, str(e))
+
+            def do_GET(self):
+                if self.path == "/getLastBatch":
+                    w = server.pending_writer
+                    if w is None:
+                        self._send(b"", extra={"X-Patch-Finished": "1"})
+                        return
+                    blob, finished = w.next_chunk(server.patch_chunk_bytes)
+                    if finished:
+                        server.pending_writer = None
+                    self._send(blob, extra={"X-Patch-Finished": str(int(finished))})
+                elif self.path == "/stats":
+                    self._send(
+                        json.dumps({
+                            "n": int(server.hnsw.graph.n),
+                            "index_bytes": server.slim.index_size(),
+                        }).encode(),
+                        "application/json",
+                    )
+                else:
+                    self.send_error(404)
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self._httpd.serve_forever()
+
+    def start_background(self):
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        while self._httpd is None:
+            time.sleep(0.01)
+        return t
+
+    def shutdown(self):
+        if self._httpd:
+            self._httpd.shutdown()

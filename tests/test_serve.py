@@ -1,0 +1,73 @@
+"""End-to-end client/server: query, setEf, updateIndex + patch sync, delete."""
+
+import numpy as np
+import pytest
+
+from hnsw_slim_tpu.config import HnswConfig, SlimConfig
+from hnsw_slim_tpu.index.bruteforce import BruteForceIndex
+from hnsw_slim_tpu.serve.client import SlimClient
+from hnsw_slim_tpu.serve.server import SlimServer
+from hnsw_slim_tpu.utils.data import clustered
+
+
+@pytest.fixture(scope="module")
+def served():
+    base, queries = clustered(n=2200, dim=16, n_queries=20, seed=51)
+    server = SlimServer(
+        base[:2000],
+        hnsw_cfg=HnswConfig(M=12, ef_construction=64),
+        slim_cfg=SlimConfig.from_ratios(),
+        port=18472,
+    )
+    server.start_background()
+    yield server, SlimClient(port=18472), base, queries
+    server.shutdown()
+
+
+def test_query_and_set_ef(served):
+    server, client, base, queries = served
+    assert client.set_ef(80)
+    bf = BruteForceIndex(base[:2000], chunk=1024)
+    _, gt = bf.search(queries, k=5)
+    hits = 0
+    for q, g in zip(queries, gt):
+        d, labels = client.query(q, k=5)
+        assert len(labels) == 5
+        assert np.all(np.diff(d) >= -1e-6)
+        hits += len(set(labels.tolist()) & set(g.tolist()))
+    assert hits / gt.size >= 0.85
+
+
+def test_update_index_and_patch_sync(served):
+    server, client, base, queries = served
+    # client-side mirror of the pre-update index
+    import copy
+
+    local = copy.copy(server.slim)
+    blob, finished = client.update_index(
+        ids=range(2000, 2200), vectors=base[2000:2200]
+    )
+    assert len(blob) > 0
+    local = client.sync_patches(local, blob, finished)
+    assert local.graph.n == 2200
+
+    # patched client index must serve the new points
+    bf = BruteForceIndex(base, chunk=1024)
+    _, gt = bf.search(queries, k=5)
+    local.set_ef(80)
+    _, ids = local.search(queries, k=5)
+    hits = sum(len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt))
+    assert hits / gt.size >= 0.8
+
+    # server must also serve them directly
+    d, labels = client.query(base[2100], k=3)
+    assert 2100 in labels
+
+
+def test_mark_delete(served):
+    server, client, base, queries = served
+    d, labels = client.query(base[100], k=3)
+    assert 100 in labels
+    assert client.mark_delete([100]) == 1
+    d, labels = client.query(base[100], k=3)
+    assert 100 not in labels
