@@ -1,0 +1,94 @@
+"""Benchmark entry point (driver-run, real TPU).
+
+Builds an HNSW-Slim index over a synthetic clustered dataset (SIFT-like:
+128-d), finds the smallest ef reaching recall@10 >= 0.95 against exact
+ground truth, and reports batched-search QPS at that operating point.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Baseline: the reference's constrained-client QPS at 95% recall on SIFT-6M
+(log-interpolated between Table 5's 9690 @ 90% and 2783 @ 98%, k=3) ≈ 4450.
+Datasets/scales differ (synthetic 100k here vs SIFT-6M there), so
+vs_baseline is indicative, not apples-to-apples; it tightens as the harness
+grows into the real datasets.
+"""
+
+import json
+import os
+import sys
+import time
+
+N = int(os.environ.get("BENCH_N", 100_000))
+DIM = int(os.environ.get("BENCH_DIM", 128))
+NQ = int(os.environ.get("BENCH_NQ", 1024))
+BASELINE_QPS = 4450.0
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+
+    from hnsw_slim_tpu.config import HnswConfig, SlimConfig
+    from hnsw_slim_tpu.index.bruteforce import BruteForceIndex
+    from hnsw_slim_tpu.index.hnsw import HnswIndex
+    from hnsw_slim_tpu.index.slim import HnswSlimIndex
+    from hnsw_slim_tpu.utils.data import clustered
+
+    print(f"# backend={jax.default_backend()} n={N} dim={DIM}", file=sys.stderr)
+    base, queries = clustered(
+        N, DIM, n_queries=NQ, n_clusters=max(64, N // 1000), seed=7
+    )
+
+    t0 = time.perf_counter()
+    hnsw = HnswIndex(HnswConfig(M=30, ef_construction=128), strategy="nnd")
+    hnsw.build(base)
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    slim = HnswSlimIndex.from_hnsw(hnsw, SlimConfig.from_ratios())
+    convert_s = time.perf_counter() - t0
+    print(f"# build {build_s:.1f}s convert {convert_s:.1f}s", file=sys.stderr)
+
+    bf = BruteForceIndex(base)
+    _, gt = bf.search(queries, k=10)
+
+    best = None
+    for ef in (32, 48, 64, 96, 128, 192, 256):
+        slim.set_ef(ef)
+        _, ids = slim.search(queries, k=10)  # compile + warm
+        t0 = time.perf_counter()
+        _, ids = slim.search(queries, k=10)
+        dt = time.perf_counter() - t0
+        hits = sum(
+            len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt)
+        )
+        recall = hits / gt.size
+        qps = NQ / dt
+        print(f"# ef={ef} recall={recall:.4f} qps={qps:.0f}", file=sys.stderr)
+        best = {"ef": ef, "recall": recall, "qps": qps}
+        if recall >= 0.95:
+            break
+
+    out = {
+        "metric": "qps@recall0.95_synth100k_d128",
+        "value": round(best["qps"], 1),
+        "unit": "qps",
+        "vs_baseline": round(best["qps"] / BASELINE_QPS, 3),
+        "recall": round(best["recall"], 4),
+        "ef": best["ef"],
+        "build_s": round(build_s, 1),
+        "convert_s": round(convert_s, 1),
+        "index_bytes": slim.index_size(),
+        "n": N,
+        "dim": DIM,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

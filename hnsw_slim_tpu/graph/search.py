@@ -64,6 +64,51 @@ def make_dense_fetch(adj_l: jnp.ndarray):
     return fetch
 
 
+def make_exact_scorer(vectors, vn, q, qn, metric, precision):
+    """Scorer: exact fused-matmul distances (the Slim path)."""
+
+    def score(safe_ids, valid):
+        d = distance.gathered_dist(
+            q, vectors[safe_ids], metric, qn=qn, vn=vn[safe_ids],
+            precision=precision,
+        )
+        return jnp.where(valid, d, INF)
+
+    return score
+
+
+def greedy_level_scored(
+    fetch: Callable,
+    score: Callable,
+    cur: jnp.ndarray,
+    curdist: jnp.ndarray,
+    active: jnp.ndarray,
+):
+    """One level of greedy descent with a pluggable scorer (exact for Slim,
+    quantized estimate for SlimQ — hnswalg_slimq.h:1862-1901)."""
+
+    def cond(state):
+        _, _, changed = state
+        return jnp.any(changed)
+
+    def body(state):
+        cur, curdist, changed = state
+        ids = fetch(cur)
+        valid = (ids >= 0) & changed[:, None]
+        safe = jnp.maximum(ids, 0)
+        d = score(safe, valid)
+        dmin = jnp.min(d, axis=1)
+        # one-hot argmin (scatter-free): smallest id among minimal-distance lanes
+        best = jnp.min(jnp.where(d == dmin[:, None], safe, jnp.int32(2**30)), axis=1)
+        better = dmin < curdist
+        cur = jnp.where(better, best, cur)
+        curdist = jnp.where(better, dmin, curdist)
+        return cur, curdist, changed & better
+
+    cur, curdist, _ = lax.while_loop(cond, body, (cur, curdist, active))
+    return cur, curdist
+
+
 def greedy_level(
     fetch: Callable,
     vectors: jnp.ndarray,
@@ -76,32 +121,9 @@ def greedy_level(
     metric: str,
     precision,
 ):
-    """One level of greedy descent (hnswalg_slim.h:2040-2078): move to the
-    closest neighbor until no improvement. Queries with active=False hold."""
-
-    def cond(state):
-        _, _, changed = state
-        return jnp.any(changed)
-
-    def body(state):
-        cur, curdist, changed = state
-        ids = fetch(cur)
-        valid = (ids >= 0) & changed[:, None]
-        safe = jnp.maximum(ids, 0)
-        d = distance.gathered_dist(
-            q, vectors[safe], metric, qn=qn, vn=vn[safe], precision=precision
-        )
-        d = jnp.where(valid, d, INF)
-        dmin = jnp.min(d, axis=1)
-        # one-hot argmin (scatter-free): smallest id among minimal-distance lanes
-        best = jnp.min(jnp.where(d == dmin[:, None], safe, jnp.int32(2**30)), axis=1)
-        better = dmin < curdist
-        cur = jnp.where(better, best, cur)
-        curdist = jnp.where(better, dmin, curdist)
-        return cur, curdist, changed & better
-
-    cur, curdist, _ = lax.while_loop(cond, body, (cur, curdist, active))
-    return cur, curdist
+    """Greedy descent with exact distances (hnswalg_slim.h:2040-2078)."""
+    score = make_exact_scorer(vectors, vn, q, qn, metric, precision)
+    return greedy_level_scored(fetch, score, cur, curdist, active)
 
 
 class BeamState(NamedTuple):
@@ -133,26 +155,21 @@ def beam_reseed(state: BeamState, seed_id: jnp.ndarray, seed_d: jnp.ndarray, act
     )
 
 
-def beam_level(
+def beam_level_scored(
     fetch: Callable,
-    vectors: jnp.ndarray,
-    vn: jnp.ndarray,
-    q: jnp.ndarray,
-    qn: jnp.ndarray,
+    score: Callable,
     state: BeamState,
     active: jnp.ndarray,
     ef: int,
     max_iters: int,
-    metric: str,
-    precision,
 ) -> BeamState:
-    """Best-first beam search at one level for the whole batch.
+    """Best-first beam search at one level with a pluggable scorer.
 
     Equivalent of searchBaseLayerST (hnswalg_slim.h:320-457): pop best
     unchecked, expand neighbors, merge into top-ef, stop when the best
     unchecked candidate exceeds the worst buffered distance.
     """
-    b = q.shape[0]
+    b = active.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, ef), 1)
 
     def cond(carry):
@@ -180,10 +197,7 @@ def beam_level(
         dup = jnp.any(ids[:, :, None] == buf_id[:, None, :], axis=2)
         cand = valid & ~dup
 
-        d = distance.gathered_dist(
-            q, vectors[safe], metric, qn=qn, vn=vn[safe], precision=precision
-        )
-        d = jnp.where(cand, d, INF)
+        d = score(safe, cand)
 
         # merge via one multi-operand sort (payload gathers are slow on TPU)
         cat_d = jnp.concatenate([buf_d, d], axis=1)
@@ -196,6 +210,24 @@ def beam_level(
 
     out, _, _ = lax.while_loop(cond, body, (state, ~active, jnp.int32(0)))
     return out
+
+
+def beam_level(
+    fetch: Callable,
+    vectors: jnp.ndarray,
+    vn: jnp.ndarray,
+    q: jnp.ndarray,
+    qn: jnp.ndarray,
+    state: BeamState,
+    active: jnp.ndarray,
+    ef: int,
+    max_iters: int,
+    metric: str,
+    precision,
+) -> BeamState:
+    """Beam search with exact distances (the Slim/HNSW path)."""
+    score = make_exact_scorer(vectors, vn, q, qn, metric, precision)
+    return beam_level_scored(fetch, score, state, active, ef, max_iters)
 
 
 def level_search(

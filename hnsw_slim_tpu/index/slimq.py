@@ -1,0 +1,196 @@
+"""HNSW-SlimQ: pruned CHAL graph over RaBitQ codes, no raw vectors stored.
+
+TPU-native counterpart of HierarchicalNSWSlimQ (reference hnswalg_slimq.h)
+and HnswSlimQStrategy (hnsw_slimq_strategy.h:42-165):
+
+* build: KMeans-16 centroids + cluster assignment (the files the reference
+  assumes precomputed, :44-45), a graph built from RAW distances (the rabitq
+  hnsw builder also uses raw distances, index/hnsw/hnsw.hpp:381-387), the same
+  two-stage Slim pruning, then a quantized payload per node:
+  [cluster_id, 1-bit code, ex code] — NO raw vector (:1498-1510).
+* search (:1810-1918): rotate the query (FHT), build the per-centroid
+  g_add/g_error table, greedy-descend and beam on 1-bit estimates, then do
+  the exact-distance rerank against the EXTERNAL dataset (setDataset,
+  hnsw_slimq_strategy.h:145 — LEANN-style "index without vectors").
+  Deviation: the reference reranks each popped node during traversal; we
+  rerank the final top-ef once (equivalent selection, one fused matmul).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import HnswConfig, QuantConfig, SearchConfig, SlimConfig
+from ..graph import search as gs
+from ..graph.prune import convert_to_slim
+from ..graph.types import ChalGraph
+from ..ops import distance
+from ..quant import estimator as est
+from ..quant.kmeans import kmeans
+from ..quant.rabitq import QuantizedCodes, quantize_batch
+from ..quant.rotator import FhtKacRotator
+from .hnsw import HnswIndex
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_level", "threshold_level", "cap0", "cap", "ef", "k",
+        "max_iters", "metric", "use_ex",
+    ),
+)
+def _slimq_search_jit(
+    nbr, lvl_off, entry, q_rot, bin_code, ex_planes, f_add, f_rescale,
+    f_add_ex, f_rescale_ex, cluster_ids, centroids_rot, *,
+    max_level, threshold_level, cap0, cap, ef, k, max_iters, metric, use_ex,
+):
+    b = q_rot.shape[0]
+    sumq = jnp.sum(q_rot, axis=1)
+    g_add_tab, _ = est.centroid_g_tables(q_rot, centroids_rot, metric)
+
+    def score(safe_ids, valid):
+        bc = bin_code[safe_ids]  # [B, W, P/32]
+        ga = jnp.take_along_axis(g_add_tab, cluster_ids[safe_ids], axis=1)
+        if use_ex:
+            d = est.est_dist_ex(
+                q_rot, sumq, bc, ex_planes[safe_ids],
+                f_add_ex[safe_ids], f_rescale_ex[safe_ids], ga,
+                ex_planes.shape[1],
+            )
+        else:
+            d = est.est_dist_1bit(
+                q_rot, sumq, bc, f_add[safe_ids], f_rescale[safe_ids], ga
+            )
+        return jnp.where(valid, d, jnp.inf)
+
+    cur = jnp.broadcast_to(entry.astype(jnp.int32), (b,))
+    curdist = score(cur[:, None], jnp.ones((b, 1), bool))[:, 0]
+    always = jnp.ones((b,), bool)
+
+    for l in range(max_level, threshold_level, -1):
+        fetch = gs.make_chal_fetch(nbr, lvl_off, l, cap if l > 0 else cap0)
+        cur, curdist = gs.greedy_level_scored(fetch, score, cur, curdist, always)
+
+    state = gs.beam_init(cur, curdist, ef)
+    for l in range(min(threshold_level, max_level), -1, -1):
+        fetch = gs.make_chal_fetch(nbr, lvl_off, l, cap if l > 0 else cap0)
+        state = gs.beam_level_scored(fetch, score, state, always, ef, max_iters)
+        if l > 0:
+            state = gs.BeamState(
+                state.buf_d, state.buf_id, jnp.zeros_like(state.buf_chk)
+            )
+    return state.buf_d, state.buf_id  # full est-ranked top-ef for rerank
+
+
+class HnswSlimQIndex:
+    """Quantized Slim index. Raw vectors are NOT stored; exact rerank uses
+    the dataset provided to set_dataset (or search-time `dataset`)."""
+
+    def __init__(self, metric: str = "l2", search_cfg: SearchConfig | None = None):
+        self.metric = metric
+        self.scfg = search_cfg or SearchConfig()
+        self.graph: ChalGraph | None = None
+        self.codes: QuantizedCodes | None = None
+        self.rotator: FhtKacRotator | None = None
+        self.cluster_ids = None  # i32[N]
+        self.centroids_rot = None  # f32[C, P]
+        self.dataset = None  # external raw vectors for rerank
+        self.use_ex = False
+
+    @classmethod
+    def build(
+        cls,
+        vectors: np.ndarray,
+        hnsw_cfg: HnswConfig | None = None,
+        slim_cfg: SlimConfig | None = None,
+        quant_cfg: QuantConfig | None = None,
+        keep_dataset: bool = True,
+        verbose: bool = False,
+    ) -> "HnswSlimQIndex":
+        hnsw_cfg = hnsw_cfg or HnswConfig()
+        slim_cfg = slim_cfg or SlimConfig.from_ratios()
+        quant_cfg = quant_cfg or QuantConfig()
+        vectors = np.asarray(vectors, np.float32)
+
+        idx = cls(metric=hnsw_cfg.metric)
+        # KMeans-16 centroids + assignment (hnsw_slimq_strategy.h:97-102)
+        centroids, asn = kmeans(
+            vectors, k=quant_cfg.num_clusters, iters=quant_cfg.kmeans_iters
+        )
+        # graph from RAW distances, pruned exactly like Slim
+        hnsw = HnswIndex(hnsw_cfg)
+        hnsw.build(vectors, verbose=verbose)
+        idx.graph = convert_to_slim(
+            hnsw.graph, hnsw.vectors, hnsw.vn, slim_cfg,
+            metric=hnsw_cfg.metric, verbose=verbose,
+        )
+        # rotate + quantize (hnsw.hpp construct :683-688, add_point :757-766)
+        idx.rotator = FhtKacRotator(vectors.shape[1], seed=hnsw_cfg.seed)
+        rotated = np.asarray(idx.rotator.rotate(vectors))
+        cent_rot = np.asarray(idx.rotator.rotate(centroids))
+        idx.codes = quantize_batch(
+            rotated, cent_rot, asn, quant_cfg.ex_bits, metric=hnsw_cfg.metric
+        )
+        idx.cluster_ids = jnp.asarray(asn.astype(np.int32))
+        idx.centroids_rot = jnp.asarray(cent_rot)
+        if keep_dataset:
+            idx.dataset = vectors
+        return idx
+
+    def set_dataset(self, vectors: np.ndarray) -> None:
+        """External raw vectors for exact rerank (hnsw_slimq_strategy.h:145)."""
+        self.dataset = np.asarray(vectors, np.float32)
+
+    def set_ef(self, ef: int) -> None:
+        self.scfg = SearchConfig(ef=ef, max_iters=self.scfg.max_iters)
+
+    def search(self, queries: np.ndarray, k: int, rerank: bool = True):
+        g = self.graph
+        c = self.codes
+        ef = max(self.scfg.ef, k)
+        q_rot = self.rotator.rotate(queries)
+        d, ids = _slimq_search_jit(
+            g.nbr, g.lvl_off, g.entry, q_rot,
+            c.bin_code, c.ex_planes, c.f_add, c.f_rescale,
+            c.f_add_ex, c.f_rescale_ex,
+            self.cluster_ids,
+            self.centroids_rot,
+            max_level=g.max_level, threshold_level=g.threshold_level,
+            cap0=g.cap0, cap=g.cap, ef=ef, k=k,
+            max_iters=self.scfg.iters(), metric=self.metric,
+            use_ex=self.use_ex,
+        )
+        d = np.asarray(d)
+        ids = np.asarray(ids)
+        if not rerank or self.dataset is None:
+            return d[:, :k], ids[:, :k]
+        # exact rerank of the est-ranked top-ef (org_fstdistfunc_,
+        # hnswalg_slimq.h:747-757)
+        q = np.asarray(queries, np.float32)
+        safe = np.maximum(ids, 0)
+        cand = self.dataset[safe]  # [B, ef, d]
+        if self.metric == "ip":
+            exact = 1.0 - np.einsum("bd,bwd->bw", q, cand)
+        else:
+            diff = cand - q[:, None, :]
+            exact = np.einsum("bwd,bwd->bw", diff, diff)
+        exact = np.where(ids >= 0, exact, np.inf)
+        order = np.argsort(exact, axis=1)[:, :k]
+        return (
+            np.take_along_axis(exact, order, axis=1),
+            np.take_along_axis(ids, order, axis=1),
+        )
+
+    def index_size(self) -> int:
+        """Graph + quantized payload bytes (no raw vectors) —
+        hnswalg_slimq.h indexSize + code bytes."""
+        return self.graph.chal_bytes() + self.codes.bytes() + 4 * self.graph.n
+
+    def runtime_memory(self) -> int:
+        """Table 6 'runtime memory': index + (externally held) vectors."""
+        ds = 0 if self.dataset is None else self.dataset.nbytes
+        return self.index_size() + ds

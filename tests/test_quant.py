@@ -1,0 +1,106 @@
+"""RaBitQ stack: rotator, quantizer estimates, kmeans, SlimQ end-to-end."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hnsw_slim_tpu.config import HnswConfig, QuantConfig, SlimConfig
+from hnsw_slim_tpu.index.bruteforce import BruteForceIndex
+from hnsw_slim_tpu.index.slimq import HnswSlimQIndex
+from hnsw_slim_tpu.quant import estimator as est
+from hnsw_slim_tpu.quant.kmeans import kmeans
+from hnsw_slim_tpu.quant.rabitq import quantize_batch
+from hnsw_slim_tpu.quant.rotator import FhtKacRotator
+from hnsw_slim_tpu.utils.data import clustered
+
+
+def test_rotator_orthogonal_and_serializable():
+    rot = FhtKacRotator(96, seed=3)
+    x = np.random.default_rng(0).standard_normal((50, 96)).astype(np.float32)
+    rx = np.asarray(rot.rotate(x))
+    assert rx.shape == (50, 128)
+    # orthogonal transform: norms preserved
+    np.testing.assert_allclose(
+        np.linalg.norm(rx, axis=1), np.linalg.norm(x, axis=1), rtol=1e-4
+    )
+    # deterministic from serialized flip bits (rotator.hpp save/load)
+    rot2 = FhtKacRotator.from_state(96, rot.state())
+    np.testing.assert_array_equal(np.asarray(rot2.rotate(x)), rx)
+
+
+def test_kmeans_reduces_distortion():
+    base, _ = clustered(3000, 24, seed=7, n_clusters=16)
+    cent, asn = kmeans(base, k=16, iters=15)
+    assert cent.shape == (16, 24)
+    d0 = ((base - base.mean(0)) ** 2).sum(-1).mean()
+    d1 = ((base - cent[asn]) ** 2).sum(-1).mean()
+    assert d1 < 0.3 * d0
+
+
+@pytest.mark.parametrize("ex_bits", [0, 3])
+def test_estimator_accuracy(ex_bits):
+    rng = np.random.default_rng(5)
+    n, dim = 400, 96
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    queries = rng.standard_normal((8, dim)).astype(np.float32)
+    cent, asn = kmeans(base, k=4, iters=10)
+
+    rot = FhtKacRotator(dim)
+    rbase = np.asarray(rot.rotate(base))
+    rcent = np.asarray(rot.rotate(cent))
+    rq = rot.rotate(queries)
+    codes = quantize_batch(rbase, rcent, asn, ex_bits=ex_bits)
+
+    sumq = jnp.sum(rq, axis=1)
+    g_add, _ = est.centroid_g_tables(rq, jnp.asarray(rcent))
+    ids = jnp.broadcast_to(jnp.arange(n), (8, n))
+    ga = jnp.take_along_axis(g_add, jnp.asarray(asn)[ids], axis=1)
+    if ex_bits:
+        d_est = est.est_dist_ex(
+            rq, sumq, codes.bin_code[ids], codes.ex_planes[ids],
+            codes.f_add_ex[ids], codes.f_rescale_ex[ids], ga, ex_bits,
+        )
+    else:
+        d_est = est.est_dist_1bit(
+            rq, sumq, codes.bin_code[ids], codes.f_add[ids],
+            codes.f_rescale[ids], ga,
+        )
+    d_est = np.asarray(d_est)
+    true = ((queries[:, None, :] - base[None, :, :]) ** 2).sum(-1)
+
+    rel = np.abs(d_est - true) / np.maximum(true, 1e-6)
+    # 1-bit estimates are coarse; ex-bit estimates much tighter
+    assert np.median(rel) < (0.05 if ex_bits else 0.25), np.median(rel)
+    # ranking quality: top-10 by estimate overlaps top-10 true
+    hits = 0
+    for r in range(8):
+        a = set(np.argsort(d_est[r])[:20].tolist())
+        b = set(np.argsort(true[r])[:10].tolist())
+        hits += len(a & b)
+    assert hits / 80 > (0.8 if ex_bits else 0.5), hits / 80
+
+
+def test_slimq_end_to_end():
+    # realistic dimensionality: at tiny dims the fixed per-node header
+    # dominates and the quantization savings vanish (cf. Table 6: savings
+    # reported at dims 96-960)
+    base, queries = clustered(4000, 128, n_queries=50, seed=21)
+    idx = HnswSlimQIndex.build(
+        base,
+        hnsw_cfg=HnswConfig(M=16, ef_construction=100),
+        slim_cfg=SlimConfig.from_ratios(),
+        quant_cfg=QuantConfig(total_bits=4),
+    )
+    bf = BruteForceIndex(base, chunk=1024)
+    _, gt = bf.search(queries, k=10)
+    idx.set_ef(100)
+    d, ids = idx.search(queries, k=10)
+    hits = sum(len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt))
+    recall = hits / gt.size
+    assert recall >= 0.85, recall
+    # returned distances are exact (post-rerank)
+    valid = ids >= 0
+    true_d = ((queries[:, None, :] - base[np.maximum(ids, 0)]) ** 2).sum(-1)
+    np.testing.assert_allclose(d[valid], true_d[valid], rtol=1e-3, atol=1e-3)
+    # quantized index is much smaller than raw vectors
+    assert idx.index_size() < 0.35 * base.nbytes
