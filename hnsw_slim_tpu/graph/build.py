@@ -100,7 +100,7 @@ def _build_search(
         )
         state = gs.beam_reseed(state, cur, curdist, lp_eff == l)
         beam_active = lp_eff >= l
-        state = gs.beam_level(
+        state, _, _ = gs.beam_level(
             fetch, vectors, vn, q, qn, state, beam_active, efc, max_iters,
             metric, precision,
         )

@@ -173,11 +173,11 @@ def beam_level_scored(
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, ef), 1)
 
     def cond(carry):
-        _, done, iters = carry
+        _, done, iters, _, _ = carry
         return jnp.any(~done) & (iters < max_iters)
 
     def body(carry):
-        st, done, iters = carry
+        st, done, iters, hops, dcomp = carry
         buf_d, buf_id, buf_chk = st
         unchk = (buf_chk == 0) & (buf_id >= 0)
         # first unchecked position = closest unexpanded (buffer sorted asc)
@@ -199,6 +199,11 @@ def beam_level_scored(
 
         d = score(safe, cand)
 
+        # search-effort counters (metric_hops / metric_distance_computations,
+        # hnswalg_slim.h:70-71)
+        hops = hops + (~qdone).astype(jnp.int32)
+        dcomp = dcomp + jnp.sum(cand.astype(jnp.int32), axis=1)
+
         # merge via one multi-operand sort (payload gathers are slow on TPU)
         cat_d = jnp.concatenate([buf_d, d], axis=1)
         cat_i = jnp.concatenate([buf_id, jnp.where(cand, ids, -1)], axis=1)
@@ -206,10 +211,13 @@ def beam_level_scored(
         sd, si, sc = lax.sort((cat_d, cat_i, cat_c), dimension=1, num_keys=1)
 
         new_st = BeamState(sd[:, :ef], si[:, :ef], sc[:, :ef])
-        return new_st, qdone, iters + 1
+        return new_st, qdone, iters + 1, hops, dcomp
 
-    out, _, _ = lax.while_loop(cond, body, (state, ~active, jnp.int32(0)))
-    return out
+    zero = jnp.zeros((b,), jnp.int32)
+    out, _, _, hops, dcomp = lax.while_loop(
+        cond, body, (state, ~active, jnp.int32(0), zero, zero)
+    )
+    return out, hops, dcomp
 
 
 def beam_level(
@@ -260,11 +268,11 @@ def level_search(
             always, metric, precision,
         )
     state = beam_init(cur, curdist, ef)
-    state = beam_level(
+    state, hops, dcomp = beam_level(
         make_dense_fetch(adjs[0]), vectors, vn, q, qn, state, always, ef,
         max_iters, metric, precision,
     )
-    return state.buf_d[:, :k], state.buf_id[:, :k]
+    return state.buf_d[:, :k], state.buf_id[:, :k], hops, dcomp
 
 
 def chal_search(
@@ -305,13 +313,17 @@ def chal_search(
         )
 
     state = beam_init(cur, curdist, ef)
+    hops = jnp.zeros((b,), jnp.int32)
+    dcomp = jnp.zeros((b,), jnp.int32)
     for l in range(min(threshold_level, max_level), -1, -1):
         fetch = make_chal_fetch(graph_nbr, graph_lvl_off, l, cap if l > 0 else cap0)
-        state = beam_level(
+        state, h, dc = beam_level(
             fetch, vectors, vn, q, qn, state, always, ef, max_iters, metric,
             precision,
         )
+        hops += h
+        dcomp += dc
         if l > 0:  # reset checked bits: next level re-expands the survivors
             state = BeamState(state.buf_d, state.buf_id, jnp.zeros_like(state.buf_chk))
 
-    return state.buf_d[:, :k], state.buf_id[:, :k]
+    return state.buf_d[:, :k], state.buf_id[:, :k], hops, dcomp

@@ -91,13 +91,18 @@ class HnswIndex:
         """(dists f32[B, k], ids i32[B, k]) approximate top-k, ascending."""
         g = self.graph
         ef = max(self.scfg.ef, k)
-        d, i = _search_jit(
+        d, i, hops, dcomp = _search_jit(
             g.adjs, g.entry, self.vectors, self.vn,
             jnp.asarray(np.asarray(queries, np.float32)),
             max_level=g.max_level, ef=ef, k=k,
             max_iters=self.scfg.iters(),
             metric=self.cfg.metric,
         )
+        # metric_hops / metric_distance_computations (hnswalg.h:66-67)
+        self.last_stats = {
+            "hops": int(np.asarray(hops).sum()),
+            "distance_computations": int(np.asarray(dcomp).sum()),
+        }
         return np.asarray(d), np.asarray(i)
 
     def check_integrity(self) -> dict:

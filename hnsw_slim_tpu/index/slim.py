@@ -97,7 +97,7 @@ class HnswSlimIndex:
         """(dists f32[B,k], ids i32[B,k]) — searchKnn (hnswalg_slim.h:2030)."""
         g = self.graph
         ef = max(self.scfg.ef, k)
-        d, i = _chal_search_jit(
+        d, i, hops, dcomp = _chal_search_jit(
             g.nbr, g.lvl_off, g.entry, self.vectors, self.vn,
             jnp.asarray(np.asarray(queries, np.float32)),
             max_level=g.max_level, threshold_level=g.threshold_level,
@@ -105,6 +105,11 @@ class HnswSlimIndex:
             max_iters=self.scfg.iters(),
             metric=self.metric,
         )
+        # metric_hops / metric_distance_computations (hnswalg_slim.h:70-71)
+        self.last_stats = {
+            "hops": int(np.asarray(hops).sum()),
+            "distance_computations": int(np.asarray(dcomp).sum()),
+        }
         return np.asarray(d), np.asarray(i)
 
     def index_size(self) -> int:

@@ -78,7 +78,7 @@ def _slimq_search_jit(
     state = gs.beam_init(cur, curdist, ef)
     for l in range(min(threshold_level, max_level), -1, -1):
         fetch = gs.make_chal_fetch(nbr, lvl_off, l, cap if l > 0 else cap0)
-        state = gs.beam_level_scored(fetch, score, state, always, ef, max_iters)
+        state, _, _ = gs.beam_level_scored(fetch, score, state, always, ef, max_iters)
         if l > 0:
             state = gs.BeamState(
                 state.buf_d, state.buf_id, jnp.zeros_like(state.buf_chk)

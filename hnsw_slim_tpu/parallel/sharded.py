@@ -34,7 +34,7 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
 
 def _local_search(nbr, lvl_off, entry, vecs, vn, gids, q, *, max_level,
                   threshold_level, cap0, cap, ef, k, max_iters, metric):
-    d, i = gs.chal_search(
+    d, i, _, _ = gs.chal_search(
         nbr, lvl_off, entry, vecs, vn, q,
         max_level=max_level, threshold_level=threshold_level, cap0=cap0,
         cap=cap, ef=ef, k=k, max_iters=max_iters, metric=metric,

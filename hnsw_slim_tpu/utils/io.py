@@ -38,12 +38,22 @@ def _read_vecs(path: str | Path, dtype, max_num: int | None = None) -> np.ndarra
 
 def read_fvecs(path: str | Path, max_num: int | None = None) -> np.ndarray:
     """float32[num, dim] (reference util.h ReadData for fvecs; partial read
-    mirrors main_partial.cc:84-98)."""
+    mirrors main_partial.cc:84-98). Uses the native mmap reader when built."""
+    from . import native
+
+    out = native.read_vecs(path, np.float32, max_num or 0)
+    if out is not None:
+        return out
     return _read_vecs(path, np.float32, max_num)
 
 
 def read_ivecs(path: str | Path, max_num: int | None = None) -> np.ndarray:
     """int32[num, dim] (groundtruth / knn files)."""
+    from . import native
+
+    out = native.read_vecs(path, np.int32, max_num or 0)
+    if out is not None:
+        return out
     return _read_vecs(path, np.int32, max_num)
 
 

@@ -66,13 +66,14 @@ def test_beam_search_knn_graph_recall():
 
     vecs = jnp.asarray(base)
     vn = distance.sq_norms(vecs)
-    d, ids = gs.chal_search(
+    d, ids, hops, dcomp = gs.chal_search(
         g.nbr, g.lvl_off, g.entry, vecs, vn, jnp.asarray(queries),
         max_level=0, threshold_level=0, cap0=24, cap=24, ef=64, k=k,
         max_iters=300, metric="l2", precision=P,
     )
     ids = np.asarray(ids)
     d = np.asarray(d)
+    assert np.asarray(hops).min() > 0 and np.asarray(dcomp).min() > 0
 
     bf = BruteForceIndex(base, chunk=1024)
     _, gt = bf.search(queries, k=k)
