@@ -109,6 +109,9 @@ class SearchConfig:
     # epoch-tagged VisitedList, visited_list_pool.h:8-78). Collisions only cost
     # recomputation, never correctness.
     visited_slots: int = 1024
+    # Expand this many best-unchecked entries per beam iteration
+    # (DiskANN-style beamwidth; 1 = exact reference semantics).
+    pop_width: int = 1
 
     def iters(self) -> int:
         return self.max_iters if self.max_iters > 0 else 4 * self.ef + 32

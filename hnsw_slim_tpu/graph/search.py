@@ -162,15 +162,21 @@ def beam_level_scored(
     active: jnp.ndarray,
     ef: int,
     max_iters: int,
+    pop_width: int = 1,
 ) -> BeamState:
     """Best-first beam search at one level with a pluggable scorer.
 
-    Equivalent of searchBaseLayerST (hnswalg_slim.h:320-457): pop best
-    unchecked, expand neighbors, merge into top-ef, stop when the best
-    unchecked candidate exceeds the worst buffered distance.
+    Equivalent of searchBaseLayerST (hnswalg_slim.h:320-457): pop the best
+    unchecked entries, expand neighbors, merge into top-ef, stop when the
+    best unchecked candidate exceeds the worst buffered distance.
+
+    pop_width > 1 expands the E best unchecked entries per iteration
+    (DiskANN-style beamwidth): fewer, fatter device steps; recall at equal
+    ef is unchanged or better (a strict superset of nodes is expanded).
     """
     b = active.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, ef), 1)
+    e = pop_width
 
     def cond(carry):
         _, done, iters, _, _ = carry
@@ -180,18 +186,32 @@ def beam_level_scored(
         st, done, iters, hops, dcomp = carry
         buf_d, buf_id, buf_chk = st
         unchk = (buf_chk == 0) & (buf_id >= 0)
-        # first unchecked position = closest unexpanded (buffer sorted asc)
-        selpos = jnp.min(jnp.where(unchk, pos, ef), axis=1)
-        has = selpos < ef
-        onehot = pos == selpos[:, None]
-        sel_d = jnp.max(jnp.where(onehot, buf_d, -INF), axis=1)
-        vsel = jnp.max(jnp.where(onehot, buf_id, -1), axis=1)
         bound = buf_d[:, ef - 1]  # inf while not full
+        # rank among unchecked; buffer is sorted so rank orders by distance
+        rank = jnp.cumsum(unchk.astype(jnp.int32), axis=1) - 1
+        # termination judged on the single best unchecked (reference rule)
+        first = unchk & (rank == 0)
+        has = jnp.any(first, axis=1)
+        sel_d = jnp.max(jnp.where(first, buf_d, -INF), axis=1)
         qdone = done | ~has | (sel_d > bound)
 
-        buf_chk = jnp.where(onehot & ~qdone[:, None], 1, buf_chk)
+        # expand up to E unchecked entries within the bound
+        selmask = unchk & (rank < e) & (buf_d <= bound[:, None]) & (
+            ~qdone[:, None]
+        )
+        buf_chk = jnp.where(selmask, 1, buf_chk)
 
-        ids = fetch(jnp.where(qdone, 0, vsel))  # [B, W]
+        def expand_one(j):
+            onehot = selmask & (rank == j)
+            vsel = jnp.max(jnp.where(onehot, buf_id, -1), axis=1)
+            return fetch(jnp.where(vsel >= 0, vsel, 0)), vsel >= 0
+
+        ids_list, ok_list = [], []
+        for j in range(e):
+            idsj, okj = expand_one(j)
+            ids_list.append(jnp.where(okj[:, None], idsj, -1))
+        ids = jnp.concatenate(ids_list, axis=1)  # [B, E*W]
+
         valid = (ids >= 0) & ~qdone[:, None]
         safe = jnp.maximum(ids, 0)
         dup = jnp.any(ids[:, :, None] == buf_id[:, None, :], axis=2)
@@ -201,7 +221,7 @@ def beam_level_scored(
 
         # search-effort counters (metric_hops / metric_distance_computations,
         # hnswalg_slim.h:70-71)
-        hops = hops + (~qdone).astype(jnp.int32)
+        hops = hops + jnp.sum(selmask.astype(jnp.int32), axis=1)
         dcomp = dcomp + jnp.sum(cand.astype(jnp.int32), axis=1)
 
         # merge via one multi-operand sort (payload gathers are slow on TPU)
@@ -209,8 +229,21 @@ def beam_level_scored(
         cat_i = jnp.concatenate([buf_id, jnp.where(cand, ids, -1)], axis=1)
         cat_c = jnp.concatenate([buf_chk, jnp.zeros_like(ids)], axis=1)
         sd, si, sc = lax.sort((cat_d, cat_i, cat_c), dimension=1, num_keys=1)
+        sd, si, sc = sd[:, :ef], si[:, :ef], sc[:, :ef]
 
-        new_st = BeamState(sd[:, :ef], si[:, :ef], sc[:, :ef])
+        if e > 1:
+            # two expanded nodes can share a neighbor: duplicates carry
+            # identical distances, so they land adjacent — invalidate and
+            # re-sort to push holes to the end
+            dup2 = jnp.concatenate(
+                [jnp.zeros((b, 1), bool), (si[:, 1:] == si[:, :-1]) & (si[:, 1:] >= 0)],
+                axis=1,
+            )
+            sd = jnp.where(dup2, INF, sd)
+            si = jnp.where(dup2, -1, si)
+            sd, si, sc = lax.sort((sd, si, sc), dimension=1, num_keys=1)
+
+        new_st = BeamState(sd, si, sc)
         return new_st, qdone, iters + 1, hops, dcomp
 
     zero = jnp.zeros((b,), jnp.int32)
@@ -232,10 +265,12 @@ def beam_level(
     max_iters: int,
     metric: str,
     precision,
+    pop_width: int = 1,
 ) -> BeamState:
     """Beam search with exact distances (the Slim/HNSW path)."""
     score = make_exact_scorer(vectors, vn, q, qn, metric, precision)
-    return beam_level_scored(fetch, score, state, active, ef, max_iters)
+    return beam_level_scored(fetch, score, state, active, ef, max_iters,
+                             pop_width)
 
 
 def level_search(
@@ -251,6 +286,7 @@ def level_search(
     max_iters: int,
     metric: str,
     precision,
+    pop_width: int = 1,
 ):
     """Vanilla HNSW query path (hnswalg.h searchKnn :1378-1440): greedy
     descent max_level..1, beam (ef) at the base layer."""
@@ -270,7 +306,7 @@ def level_search(
     state = beam_init(cur, curdist, ef)
     state, hops, dcomp = beam_level(
         make_dense_fetch(adjs[0]), vectors, vn, q, qn, state, always, ef,
-        max_iters, metric, precision,
+        max_iters, metric, precision, pop_width,
     )
     return state.buf_d[:, :k], state.buf_id[:, :k], hops, dcomp
 
@@ -292,6 +328,7 @@ def chal_search(
     max_iters: int,
     metric: str,
     precision,
+    pop_width: int = 1,
 ):
     """Full Slim query path (hnswalg_slim.h searchKnn :2030-2131):
     greedy descent for levels max_level..threshold_level+1, beam search for
@@ -319,7 +356,7 @@ def chal_search(
         fetch = make_chal_fetch(graph_nbr, graph_lvl_off, l, cap if l > 0 else cap0)
         state, h, dc = beam_level(
             fetch, vectors, vn, q, qn, state, always, ef, max_iters, metric,
-            precision,
+            precision, pop_width,
         )
         hops += h
         dcomp += dc

@@ -22,15 +22,16 @@ from ..ops import distance
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_level", "ef", "k", "max_iters", "metric"),
+    static_argnames=("max_level", "ef", "k", "max_iters", "metric", "pop_width"),
 )
 def _search_jit(adjs, entry, vectors, vn, q, *, max_level, ef, k, max_iters,
-                metric):
+                metric, pop_width=1):
     return gs.level_search(
         adjs, entry, vectors, vn, q,
         max_level=max_level, ef=ef, k=k, max_iters=max_iters,
         metric=metric,
         precision=jax.lax.Precision.HIGHEST,
+        pop_width=pop_width,
     )
 
 
@@ -84,7 +85,8 @@ class HnswIndex:
 
     def set_ef(self, ef: int) -> None:
         self.scfg = SearchConfig(
-            ef=ef, max_iters=self.scfg.max_iters
+            ef=ef, max_iters=self.scfg.max_iters,
+            pop_width=self.scfg.pop_width,
         )
 
     def search(self, queries: np.ndarray, k: int):
@@ -96,7 +98,7 @@ class HnswIndex:
             jnp.asarray(np.asarray(queries, np.float32)),
             max_level=g.max_level, ef=ef, k=k,
             max_iters=self.scfg.iters(),
-            metric=self.cfg.metric,
+            metric=self.cfg.metric, pop_width=self.scfg.pop_width,
         )
         # metric_hops / metric_distance_computations (hnswalg.h:66-67)
         self.last_stats = {

@@ -27,18 +27,19 @@ from .hnsw import HnswIndex
     jax.jit,
     static_argnames=(
         "max_level", "threshold_level", "cap0", "cap", "ef", "k",
-        "max_iters", "metric",
+        "max_iters", "metric", "pop_width",
     ),
 )
 def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
                      threshold_level, cap0, cap, ef, k, max_iters,
-                     metric):
+                     metric, pop_width=1):
     return gs.chal_search(
         nbr, lvl_off, entry, vectors, vn, q,
         max_level=max_level, threshold_level=threshold_level,
         cap0=cap0, cap=cap, ef=ef, k=k, max_iters=max_iters,
         metric=metric,
         precision=jax.lax.Precision.HIGHEST,
+        pop_width=pop_width,
     )
 
 
@@ -90,7 +91,8 @@ class HnswSlimIndex:
 
     def set_ef(self, ef: int) -> None:
         self.scfg = SearchConfig(
-            ef=ef, max_iters=self.scfg.max_iters
+            ef=ef, max_iters=self.scfg.max_iters,
+            pop_width=self.scfg.pop_width,
         )
 
     def search(self, queries: np.ndarray, k: int):
@@ -103,7 +105,7 @@ class HnswSlimIndex:
             max_level=g.max_level, threshold_level=g.threshold_level,
             cap0=g.cap0, cap=g.cap, ef=ef, k=k,
             max_iters=self.scfg.iters(),
-            metric=self.metric,
+            metric=self.metric, pop_width=self.scfg.pop_width,
         )
         # metric_hops / metric_distance_computations (hnswalg_slim.h:70-71)
         self.last_stats = {
