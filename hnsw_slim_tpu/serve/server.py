@@ -72,15 +72,20 @@ class SlimServer:
         host: str = "0.0.0.0",
         port: int = 8080,
         patch_chunk_bytes: int = 200 * 1024 * 1024,  # hnsw_slim_server_patch.cc:154
+        serve_index: str = "slim",  # "slim" (hnsw_slim_server.cc) or
+        # "hnsw" (hnsw_server.cc — serve the unpruned graph directly)
     ):
         self.hnsw_cfg = hnsw_cfg or HnswConfig()
         self.slim_cfg = slim_cfg or SlimConfig.from_ratios()
+        self.serve_index = serve_index
         self.hnsw = HnswIndex(self.hnsw_cfg, strategy=build_strategy)
         self.hnsw.build(np.asarray(base_vectors, np.float32))
         self.slim = HnswSlimIndex.from_hnsw(self.hnsw, self.slim_cfg)
         self.deleted = np.zeros(self.hnsw.graph.n, bool)
         self.lock = threading.Lock()
-        self.batcher = _Batcher(self.slim)
+        self.batcher = _Batcher(
+            self.hnsw if serve_index == "hnsw" else self.slim
+        )
         self.pending_writer: patchlib.PatchWriter | None = None
         self.patch_chunk_bytes = patch_chunk_bytes
         self.host, self.port = host, port
@@ -97,6 +102,7 @@ class SlimServer:
 
     def set_ef(self, ef: int) -> None:
         self.slim.set_ef(ef)
+        self.hnsw.set_ef(ef)
 
     def update_index(self, new_vectors: np.ndarray) -> patchlib.PatchWriter:
         """Insert + full re-prune + diff (hnsw_slim_server.cc:115-142)."""
@@ -104,7 +110,9 @@ class SlimServer:
             old_graph = self.slim.graph
             self.hnsw.add_points(new_vectors)
             self.slim = HnswSlimIndex.from_hnsw(self.hnsw, self.slim_cfg)
-            self.batcher.index = self.slim
+            self.batcher.index = (
+                self.hnsw if self.serve_index == "hnsw" else self.slim
+            )
             self.deleted = np.resize(self.deleted, self.hnsw.graph.n)
             self.deleted[-len(new_vectors):] = False
             changed_old, changed_new = patchlib.compute_diff(

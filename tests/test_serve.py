@@ -71,3 +71,26 @@ def test_mark_delete(served):
     assert client.mark_delete([100]) == 1
     d, labels = client.query(base[100], k=3)
     assert 100 not in labels
+
+
+def test_hnsw_serve_mode():
+    base, queries = clustered(n=1200, dim=16, n_queries=10, seed=52)
+    server = SlimServer(
+        base,
+        hnsw_cfg=HnswConfig(M=12, ef_construction=64),
+        port=18475,
+        serve_index="hnsw",
+    )
+    server.start_background()
+    try:
+        client = SlimClient(port=18475)
+        client.set_ef(64)
+        bf = BruteForceIndex(base, chunk=1024)
+        _, gt = bf.search(queries, k=5)
+        hits = 0
+        for q, g in zip(queries, gt):
+            _, labels = client.query(q, k=5)
+            hits += len(set(labels.tolist()) & set(g.tolist()))
+        assert hits / gt.size >= 0.9
+    finally:
+        server.shutdown()
