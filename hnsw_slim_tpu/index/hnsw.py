@@ -35,6 +35,14 @@ def _search_jit(adjs, entry, vectors, vn, q, *, max_level, ef, k, max_iters,
     )
 
 
+def _compact_rows(a: np.ndarray) -> np.ndarray:
+    """Left-compact -1 holes in each row (keeps fetch-width semantics)."""
+    n, w = a.shape
+    key = np.where(a >= 0, 0, 1)
+    order = np.argsort(key, axis=1, kind="stable")
+    return np.take_along_axis(a, order, axis=1)
+
+
 class HnswIndex:
     """Build-once, query-many vanilla HNSW.
 
@@ -82,6 +90,61 @@ class HnswIndex:
         )
         self.vectors = jnp.asarray(all_vecs)
         self.vn = distance.sq_norms(self.vectors)
+
+    def replace_points(self, slots: np.ndarray, new_vectors: np.ndarray,
+                       verbose: bool = False) -> None:
+        """Reuse deleted slots for new vectors (replace_deleted=true,
+        hnswalg.h addPoint replace path / hnsw_slim_server_patch.cc:268-270):
+        sever every edge touching the slot, overwrite its vector, then
+        re-insert it through the normal batched insert machinery."""
+        from ..graph.build import HnswBuilder, sample_levels
+
+        slots = np.asarray(slots, np.int64)
+        assert len(slots) == len(new_vectors)
+        vecs_np = np.array(self.vectors)  # mutable copy
+        vecs_np[slots] = np.asarray(new_vectors, np.float32)
+        levels_arr = np.asarray(self.levels).copy()
+        slot_set = set(slots.tolist())
+
+        adj_np = []
+        for a in self.graph.adjs:
+            a = np.asarray(a).copy()
+            a[slots] = -1  # out-edges
+            mask = np.isin(a, slots)  # in-edges
+            a[mask] = -1
+            adj_np.append(_compact_rows(a))
+        # fresh levels for reused slots (getRandomLevel per insert)
+        levels_arr[slots] = sample_levels(
+            len(slots), self.cfg.mult, self.cfg.seed + int(slots[0])
+        )
+        lmax = self.graph.max_level
+        levels_arr[slots] = np.minimum(levels_arr[slots], lmax)
+
+        import jax.numpy as jnp
+
+        self.vectors = jnp.asarray(vecs_np)
+        self.vn = distance.sq_norms(self.vectors)
+        adj_dev = [jnp.asarray(a) for a in adj_np]
+        builder = HnswBuilder(self.cfg, self.max_batch)
+        entry = int(np.asarray(self.graph.entry))
+        cur_maxlevel = lmax
+        if entry in slot_set:  # enterpoint was replaced: promote another node
+            top = np.nonzero(levels_arr == levels_arr.max())[0]
+            entry = int(top[0])
+            cur_maxlevel = int(levels_arr[entry])
+        for s in range(0, len(slots), self.max_batch):
+            ids = slots[s : s + self.max_batch]
+            builder._insert_batch(
+                ids, levels_arr, entry, cur_maxlevel, self.vectors, self.vn,
+                adj_np, adj_dev, lmax,
+            )
+        self.levels = levels_arr
+        self.graph = LevelGraph(
+            adjs=tuple(jnp.asarray(a) for a in adj_np),
+            level=jnp.asarray(levels_arr),
+            entry=jnp.asarray(np.int32(entry)),
+            max_level=lmax,
+        )
 
     def set_ef(self, ef: int) -> None:
         self.scfg = SearchConfig(

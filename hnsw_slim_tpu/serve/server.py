@@ -82,6 +82,10 @@ class SlimServer:
         self.hnsw.build(np.asarray(base_vectors, np.float32))
         self.slim = HnswSlimIndex.from_hnsw(self.hnsw, self.slim_cfg)
         self.deleted = np.zeros(self.hnsw.graph.n, bool)
+        # external label layer (reference label_lookup_): internal slot ->
+        # label; deleted slots are reused by later inserts (replace_deleted)
+        self.labels = np.arange(self.hnsw.graph.n, dtype=np.int64)
+        self.next_label = int(self.hnsw.graph.n)
         self.lock = threading.Lock()
         self.batcher = _Batcher(
             self.hnsw if serve_index == "hnsw" else self.slim
@@ -98,26 +102,54 @@ class SlimServer:
         if self.deleted.any():
             keep = ~self.deleted[np.maximum(i, 0)] & (i >= 0)
             i, d = i[keep][:k], d[keep][:k]
-        return d, i
+        return d, self.labels[np.maximum(i, 0)] * (i >= 0) + -1 * (i < 0)
 
     def set_ef(self, ef: int) -> None:
         self.slim.set_ef(ef)
         self.hnsw.set_ef(ef)
 
-    def update_index(self, new_vectors: np.ndarray) -> patchlib.PatchWriter:
-        """Insert + full re-prune + diff (hnsw_slim_server.cc:115-142)."""
+    def update_index(self, new_vectors: np.ndarray,
+                     new_labels=None) -> patchlib.PatchWriter:
+        """Insert + full re-prune + diff (hnsw_slim_server.cc:115-142).
+        Deleted slots are reused first (replace_deleted=true, deferred
+        reinsert — hnsw_slim_server_patch.cc:268-270); the rest append."""
         with self.lock:
+            new_vectors = np.asarray(new_vectors, np.float32)
+            if new_labels is None:
+                new_labels = range(
+                    self.next_label, self.next_label + len(new_vectors)
+                )
+            new_labels = np.asarray(list(new_labels), np.int64)
             old_graph = self.slim.graph
-            self.hnsw.add_points(new_vectors)
+
+            free = np.nonzero(self.deleted)[0]
+            n_reuse = min(len(free), len(new_vectors))
+            reused = free[:n_reuse]
+            if n_reuse:
+                self.hnsw.replace_points(reused, new_vectors[:n_reuse])
+                self.labels[reused] = new_labels[:n_reuse]
+                self.deleted[reused] = False
+            if n_reuse < len(new_vectors):
+                self.hnsw.add_points(new_vectors[n_reuse:])
+                self.labels = np.concatenate(
+                    [self.labels, new_labels[n_reuse:]]
+                )
+                self.deleted = np.resize(self.deleted, self.hnsw.graph.n)
+                self.deleted[-(len(new_vectors) - n_reuse):] = False
+            self.next_label = max(
+                self.next_label, int(new_labels.max(initial=0)) + 1
+            )
+
             self.slim = HnswSlimIndex.from_hnsw(self.hnsw, self.slim_cfg)
             self.batcher.index = (
                 self.hnsw if self.serve_index == "hnsw" else self.slim
             )
-            self.deleted = np.resize(self.deleted, self.hnsw.graph.n)
-            self.deleted[-len(new_vectors):] = False
             changed_old, changed_new = patchlib.compute_diff(
                 old_graph, self.slim.graph
             )
+            # reused slots must ship their new vectors: classify as new
+            changed_old = [v for v in changed_old if v not in set(reused.tolist())]
+            changed_new = sorted(set(changed_new) | set(int(v) for v in reused))
             writer = patchlib.PatchWriter(
                 self.slim.graph, changed_old, changed_new,
                 vectors=np.asarray(self.slim.vectors),
@@ -125,11 +157,11 @@ class SlimServer:
             self.pending_writer = writer
             return writer
 
-    def mark_delete(self, ids) -> int:
-        """markDelete (hnsw_slim_server_patch.cc:230-241)."""
+    def mark_delete(self, labels) -> int:
+        """markDelete by external label (hnsw_slim_server_patch.cc:230-241)."""
         with self.lock:
-            ids = np.asarray(ids, np.int64)
-            ids = ids[(ids >= 0) & (ids < len(self.deleted))]
+            want = set(int(x) for x in labels)
+            ids = np.nonzero(np.isin(self.labels, list(want)))[0]
             self.deleted[ids] = True
             return int(len(ids))
 

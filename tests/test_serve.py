@@ -94,3 +94,26 @@ def test_hnsw_serve_mode():
         assert hits / gt.size >= 0.9
     finally:
         server.shutdown()
+
+
+def test_replace_deleted_slot_reuse():
+    base, _ = clustered(n=1500, dim=16, n_queries=0, seed=53)
+    server = SlimServer(
+        base[:1400],
+        hnsw_cfg=HnswConfig(M=12, ef_construction=64),
+        port=18476,
+    )
+    n0 = server.hnsw.graph.n
+    # delete 50 labels, then insert 60 new vectors: 50 reuse slots, 10 append
+    server.mark_delete(range(100, 150))
+    writer = server.update_index(base[1400:1460])
+    assert server.hnsw.graph.n == n0 + 10  # only the overflow appended
+    assert not server.deleted[100:150].any()
+    assert (server.labels[100:150] >= 1400).all()  # relabeled slots
+
+    # replaced vectors are served under their new labels
+    d, labels = server.query(base[1405], k=3)
+    assert 1405 in labels.tolist()
+    # patch records for reused slots carry vectors (classified as new)
+    blob, fin = writer.next_chunk()
+    assert fin and len(blob) > 0
