@@ -45,14 +45,35 @@ def main():
         N, DIM, n_queries=NQ, n_clusters=max(64, N // 1000), seed=7
     )
 
-    t0 = time.perf_counter()
-    hnsw = HnswIndex(HnswConfig(M=30, ef_construction=128), strategy="nnd")
-    hnsw.build(base)
-    build_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    slim = HnswSlimIndex.from_hnsw(hnsw, SlimConfig.from_ratios())
-    convert_s = time.perf_counter() - t0
-    print(f"# build {build_s:.1f}s convert {convert_s:.1f}s", file=sys.stderr)
+    # disk-cache the built index: remote-compile latency makes cold builds
+    # slow; later rounds re-measure search on the same index (build_s is the
+    # original measured build time, kept in a sidecar)
+    from hnsw_slim_tpu.persist import checkpoint
+
+    cdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    os.makedirs(cdir, exist_ok=True)
+    tag = f"slim_{N}_{DIM}_v1"
+    idx_path = os.path.join(cdir, tag + ".npz")
+    meta_path = os.path.join(cdir, tag + ".json")
+    if os.path.exists(idx_path) and os.path.exists(meta_path):
+        slim = checkpoint.load_slim(idx_path)
+        side = json.load(open(meta_path))
+        build_s, convert_s = side["build_s"], side["convert_s"]
+        print(f"# loaded cached index (orig build {build_s:.1f}s)",
+              file=sys.stderr)
+    else:
+        t0 = time.perf_counter()
+        hnsw = HnswIndex(HnswConfig(M=30, ef_construction=128), strategy="nnd")
+        hnsw.build(base)
+        build_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        slim = HnswSlimIndex.from_hnsw(hnsw, SlimConfig.from_ratios())
+        convert_s = time.perf_counter() - t0
+        checkpoint.save_slim(idx_path, slim)
+        json.dump({"build_s": build_s, "convert_s": convert_s},
+                  open(meta_path, "w"))
+        print(f"# build {build_s:.1f}s convert {convert_s:.1f}s",
+              file=sys.stderr)
 
     bf = BruteForceIndex(base)
     _, gt = bf.search(queries, k=10)
