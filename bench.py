@@ -4,6 +4,10 @@ Builds an HNSW-Slim index over a synthetic clustered dataset (SIFT-like:
 128-d), finds the smallest ef reaching recall@10 >= 0.95 against exact
 ground truth, and reports batched-search QPS at that operating point.
 
+Default N=20k keeps the run inside the already-cached XLA programs (the
+remote compiler in this environment can stall for an hour on a cold
+program); set BENCH_N=100000 for the larger sweep once its programs cache.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Baseline: the reference's constrained-client QPS at 95% recall on SIFT-6M
@@ -18,7 +22,7 @@ import os
 import sys
 import time
 
-N = int(os.environ.get("BENCH_N", 100_000))
+N = int(os.environ.get("BENCH_N", 20_000))
 DIM = int(os.environ.get("BENCH_DIM", 128))
 NQ = int(os.environ.get("BENCH_NQ", 1024))
 BASELINE_QPS = 4450.0
@@ -96,7 +100,7 @@ def main():
             break
 
     out = {
-        "metric": "qps@recall0.95_synth100k_d128",
+        "metric": f"qps@recall0.95_synth{N//1000}k_d{DIM}",
         "value": round(best["qps"], 1),
         "unit": "qps",
         "vs_baseline": round(best["qps"] / BASELINE_QPS, 3),
