@@ -36,8 +36,6 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    import numpy as np
-
     from hnsw_slim_tpu.config import HnswConfig, SlimConfig
     from hnsw_slim_tpu.index.bruteforce import BruteForceIndex
     from hnsw_slim_tpu.index.hnsw import HnswIndex

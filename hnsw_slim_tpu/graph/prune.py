@@ -20,7 +20,6 @@ level-0 hubs; pass count_level0_hubs=True for that behavior.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

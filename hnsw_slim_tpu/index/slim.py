@@ -19,7 +19,6 @@ from ..config import HnswConfig, SearchConfig, SlimConfig
 from ..graph import search as gs
 from ..graph.prune import convert_to_slim
 from ..graph.types import ChalGraph
-from ..ops import distance
 from .hnsw import HnswIndex
 
 

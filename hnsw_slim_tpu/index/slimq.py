@@ -28,7 +28,6 @@ from ..config import HnswConfig, QuantConfig, SearchConfig, SlimConfig
 from ..graph import search as gs
 from ..graph.prune import convert_to_slim
 from ..graph.types import ChalGraph
-from ..ops import distance
 from ..quant import estimator as est
 from ..quant.kmeans import kmeans
 from ..quant.rabitq import QuantizedCodes, quantize_batch

@@ -20,7 +20,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import HnswConfig, SearchConfig, SlimConfig
 from ..graph import search as gs
-from ..ops import distance
 
 
 def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:

@@ -22,7 +22,6 @@ from __future__ import annotations
 import io
 import struct
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..graph.types import ChalGraph

@@ -16,7 +16,6 @@ g_error = ||q - centroid|| (query.hpp:100-107).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -102,7 +102,8 @@ class SlimServer:
         if self.deleted.any():
             keep = ~self.deleted[np.maximum(i, 0)] & (i >= 0)
             i, d = i[keep][:k], d[keep][:k]
-        return d, self.labels[np.maximum(i, 0)] * (i >= 0) + -1 * (i < 0)
+        out = np.where(i >= 0, self.labels[np.maximum(i, 0)], -1)
+        return d, out
 
     def set_ef(self, ef: int) -> None:
         self.slim.set_ef(ef)

@@ -14,7 +14,7 @@ from pathlib import Path
 
 import numpy as np
 
-from .config import HnswConfig, QuantConfig, SearchConfig, SlimConfig
+from .config import HnswConfig, QuantConfig, SlimConfig
 from .eval.recall import recall_at_k
 from .index.bruteforce import BruteForceIndex
 from .index.hnsw import HnswIndex
