@@ -38,6 +38,10 @@ class HnswConfig:
     branching_factor: str = "32"  # paper default p = 1/32 (BASELINE.md)
     metric: str = "l2"  # "l2" (squared L2) or "ip" (1 - dot)
     seed: int = 100  # reference hnswalg.h random_seed default 100
+    # On-device vector storage: "float32" (exact, reference parity) or
+    # "bfloat16" (halves HBM — the dominant term at 100M scale; traversal
+    # and returned distances become ~1e-2-relative approximate)
+    store_dtype: str = "float32"
 
     @property
     def maxM(self) -> int:

@@ -65,6 +65,8 @@ class HnswIndex:
 
     def build(self, vectors: np.ndarray, verbose: bool = False) -> None:
         self.vectors = jnp.asarray(np.asarray(vectors, np.float32))
+        if self.cfg.store_dtype == "bfloat16":
+            self.vectors = self.vectors.astype(jnp.bfloat16)
         self.vn = distance.sq_norms(self.vectors)
         if self.strategy == "nnd":
             from ..graph.build import build_by_nnd

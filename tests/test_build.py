@@ -52,3 +52,18 @@ def test_hnsw_ip_metric():
     _, ids = idx.search(queries, k=10)
     hits = sum(len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt))
     assert hits / gt.size >= 0.9
+
+
+def test_bf16_storage_recall():
+    base, queries = clustered(n=3000, dim=32, n_queries=50, seed=13)
+    cfg = HnswConfig(M=16, ef_construction=100, ef_search=64,
+                     store_dtype="bfloat16")
+    idx = HnswIndex(cfg, max_batch=512)
+    idx.build(base)
+    import jax.numpy as jnp
+    assert idx.vectors.dtype == jnp.bfloat16
+    bf = BruteForceIndex(base, chunk=1024)
+    _, gt = bf.search(queries, k=10)
+    _, ids = idx.search(queries, k=10)
+    hits = sum(len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt))
+    assert hits / gt.size >= 0.93, hits / gt.size
