@@ -24,7 +24,7 @@ from jax import lax
 from ..config import HnswConfig
 from ..ops import distance
 from . import search as gs
-from .heuristic import prune_batch
+from .heuristic import prune_all, prune_batch
 from .types import LevelGraph
 
 INF = jnp.float32(jnp.inf)
@@ -189,16 +189,16 @@ def knn_to_level0(
         # (the insertion build gets these from its entry-descent beam)
         rnd = rng.integers(0, n, (n, hop2)).astype(np.int32)
         knn_ids = np.concatenate([knn_ids, h2, rnd], axis=1)
-    sel = np.zeros((n, M), np.int32)
-    for s in range(0, n, chunk):
-        ck = slice(s, min(s + chunk, n))
-        cpad = _pad_to(np.asarray(knn_ids[ck]), chunk)
-        bpad = _pad_to(np.arange(ck.start, ck.stop, dtype=np.int32), chunk, fill=0)
-        out, _ = prune_batch(
-            vectors, vn, jnp.asarray(bpad), jnp.asarray(cpad),
-            jnp.asarray(cpad >= 0), M=M, keep_all_under_m=True, metric=metric,
+    npad = -(-n // chunk) * chunk
+    sel = np.asarray(
+        prune_all(
+            vectors, vn,
+            jnp.asarray(_pad_to(np.arange(n, dtype=np.int32), npad, fill=0)),
+            jnp.asarray(_pad_to(np.asarray(knn_ids, np.int32), npad)),
+            jnp.asarray(np.full(npad, M, np.int32)),
+            M=M, keep_all_under_m=True, metric=metric, chunk=chunk,
         )
-        sel[ck] = np.asarray(out)[: ck.stop - ck.start]
+    )[:n]
 
     # distance payload for ranking the union (chunked to bound the gather)
     d_sel = np.full((n, M), np.inf, np.float32)
@@ -218,19 +218,17 @@ def knn_to_level0(
     # without pruning until the row overflows, hnswalg.h:618-687)
     rows_np = np.asarray(rows)
     counts_np = np.asarray(counts)
-    out = np.full((n, cap0), -1, np.int32)
     m_row = np.where(counts_np > cap0, cap0, counts_np + 1).astype(np.int32)
-    for s in range(0, n, chunk):
-        ck = slice(s, min(s + chunk, n))
-        cpad = _pad_to(rows_np[ck], chunk)
-        bpad = _pad_to(np.arange(ck.start, ck.stop, dtype=np.int32), chunk, fill=0)
-        mpad = _pad_to(m_row[ck], chunk, fill=1)
-        o, _ = prune_batch(
-            vectors, vn, jnp.asarray(bpad), jnp.asarray(cpad),
-            jnp.asarray(cpad >= 0), M=cap0, keep_all_under_m=True,
-            metric=metric, out_width=cap0, m_per_row=jnp.asarray(mpad),
+    out = np.asarray(
+        prune_all(
+            vectors, vn,
+            jnp.asarray(_pad_to(np.arange(n, dtype=np.int32), npad, fill=0)),
+            jnp.asarray(_pad_to(rows_np, npad)),
+            jnp.asarray(_pad_to(m_row, npad, fill=1)),
+            M=cap0, keep_all_under_m=True, metric=metric, out_width=cap0,
+            chunk=chunk,
         )
-        out[ck] = np.asarray(o)[: ck.stop - ck.start]
+    )[:n]
     return out
 
 

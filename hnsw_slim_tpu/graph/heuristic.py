@@ -125,6 +125,46 @@ def prune_batch_guarded(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("M", "keep_all_under_m", "metric", "out_width", "chunk"),
+)
+def prune_all(
+    vectors: jnp.ndarray,
+    vn: jnp.ndarray,
+    base_ids: jnp.ndarray,  # i32[Npad] (pad with 0)
+    cand_ids: jnp.ndarray,  # i32[Npad, C] (pad with -1)
+    m_per_row: jnp.ndarray,  # i32[Npad] (pad with 1)
+    *,
+    M: int,
+    keep_all_under_m: bool,
+    metric: str = "l2",
+    out_width: int = 0,
+    chunk: int = 2048,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Whole-array heuristic prune with internal fori chunking: ONE device
+    dispatch for all nodes (the per-chunk python loop costs ~30ms of host
+    sync per chunk through the axon tunnel). Npad must be a multiple of
+    `chunk`."""
+    w = out_width or M
+    n = base_ids.shape[0]
+    out = jnp.full((n, w), -1, jnp.int32)
+
+    def body(i, out):
+        s = i * chunk
+        b = lax.dynamic_slice_in_dim(base_ids, s, chunk, 0)
+        c = lax.dynamic_slice_in_dim(cand_ids, s, chunk, 0)
+        m = lax.dynamic_slice_in_dim(m_per_row, s, chunk, 0)
+        sel, _ = _prune_batch_impl(
+            vectors, vn, b, c, c >= 0, M, keep_all_under_m, metric, w,
+            precision, m,
+        )
+        return lax.dynamic_update_slice_in_dim(out, sel, s, 0)
+
+    return lax.fori_loop(0, n // chunk, body, out)
+
+
+@functools.partial(
     jax.jit, static_argnames=("M", "keep_all_under_m", "metric", "out_width")
 )
 def prune_batch(
@@ -149,7 +189,14 @@ def prune_batch(
     (W = out_width or M). m_per_row supports the Slim hub/low budgets
     (hnswalg_slim.h:966-971).
     """
-    w = out_width or M
+    return _prune_batch_impl(
+        vectors, vn, base_ids, cand_ids, valid, M, keep_all_under_m, metric,
+        out_width or M, precision, m_per_row,
+    )
+
+
+def _prune_batch_impl(vectors, vn, base_ids, cand_ids, valid, M,
+                      keep_all_under_m, metric, w, precision, m_per_row):
     safe = jnp.maximum(cand_ids, 0)
     cvecs = vectors[safe].astype(jnp.float32)  # [B, C, d]
     cn = vn[safe]

@@ -115,21 +115,22 @@ def convert_to_slim(
             budget = np.where(deg > thr[l], cfg.top_M, cfg.low_m)
             out_w, cap_l = cfg.top_M, maxM
 
-        # stage 2: per-(node,level) budget prune (PruneByHeuristic, no early-out)
-        pruned = np.full((len(act), out_w), -1, np.int32)
-        for s in range(0, len(act), chunk):
-            ck = slice(s, min(s + chunk, len(act)))
-            cpad, nv = _pad(a[ck]), ck.stop - ck.start
-            sel, _ = prune_batch(
+        # stage 2: per-(node,level) budget prune (PruneByHeuristic, no
+        # early-out) — one fused device dispatch over all active nodes
+        from .heuristic import prune_all
+
+        na = len(act)
+        npad = -(-na // chunk) * chunk
+        pruned = np.asarray(
+            prune_all(
                 vectors, vn,
-                jnp.asarray(_pad(act[ck], fill=0)),
-                jnp.asarray(cpad),
-                jnp.asarray(cpad >= 0),
+                jnp.asarray(_pad_to_len(act.astype(np.int32), npad, 0)),
+                jnp.asarray(_pad_to_len(a, npad, -1)),
+                jnp.asarray(_pad_to_len(budget.astype(np.int32), npad, 1)),
                 M=out_w, keep_all_under_m=False, metric=metric,
-                out_width=out_w,
-                m_per_row=jnp.asarray(_pad(budget[ck].astype(np.int32), fill=1)),
+                out_width=out_w, chunk=chunk,
             )
-            pruned[ck] = np.asarray(sel)[:nv]
+        )[:na]
 
         # stage 3: reverse union + dedup (sorted by id)
         s_ids = np.repeat(act, out_w)
@@ -342,6 +343,13 @@ def convert_to_slimzero(
         cap0=maxM0,
         cap=maxM,
     )
+
+
+def _pad_to_len(a: np.ndarray, size: int, fill: int) -> np.ndarray:
+    if a.shape[0] >= size:
+        return a
+    pad = np.full((size - a.shape[0],) + a.shape[1:], fill, a.dtype)
+    return np.concatenate([a, pad])
 
 
 def _pad(a: np.ndarray, fill: int = -1) -> np.ndarray:
