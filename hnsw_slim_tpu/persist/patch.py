@@ -47,34 +47,41 @@ def to_np(chal: ChalGraph) -> dict:
     )
 
 
+def _level_rows(c: dict, l: int, count: int, width: int) -> np.ndarray:
+    """Canonical (sorted, -1-padded) level-l neighbor rows for nodes
+    [0, count) — vectorized gather over the flat CHAL arrays."""
+    off = c["lvl_off"][:count]
+    start = off[:, l].astype(np.int64)
+    end = off[:, l + 1].astype(np.int64)
+    idx = start[:, None] + np.arange(width)[None, :]
+    valid = idx < end[:, None]
+    rows = np.where(valid, c["nbr"][np.minimum(idx, len(c["nbr"]) - 1)], -1)
+    big = np.where(rows < 0, np.iinfo(np.int32).max, rows)
+    out = np.sort(big, axis=1)
+    return np.where(out == np.iinfo(np.int32).max, -1, out)
+
+
 def compute_diff(old: ChalGraph, new: ChalGraph) -> tuple[list[int], list[int]]:
     """(changed_old, changed_new) node ids (hnswalg_slim.h:1360-1382):
     new = ids beyond the old element count; old = ids whose logical CHAL
-    content changed."""
+    content changed. Fully vectorized (the per-node memcmp loop of the
+    reference would be a Python loop here)."""
     o, n = to_np(old), to_np(new)
     prev_count = len(o["level"])
-    changed_old, changed_new = [], []
-    # vectorized prefilter: nodes whose per-level sizes differ
-    lmax = min(o["lvl_off"].shape[1], n["lvl_off"].shape[1])
-    o_sizes = np.diff(o["lvl_off"][:, :lmax], axis=1)
-    n_sizes = np.diff(n["lvl_off"][:prev_count, :lmax], axis=1)
-    maybe = np.nonzero(
-        (o_sizes != n_sizes).any(axis=1)
-        | (o["level"] != n["level"][:prev_count])
-    )[0].tolist()
-    same_size = np.nonzero(
-        (o_sizes == n_sizes).all(axis=1)
-        & (o["level"] == n["level"][:prev_count])
-    )[0]
-    for v in maybe:
-        changed_old.append(int(v))
-    for v in same_size:
-        a = node_slices(o, int(v))
-        b = node_slices(n, int(v))
-        if any(not np.array_equal(x, y) for x, y in zip(a, b)):
-            changed_old.append(int(v))
+    changed = o["level"] != n["level"][:prev_count]
+    lmax = min(old.max_level, new.max_level)
+    for l in range(lmax + 1):
+        width = max(
+            int(np.diff(o["lvl_off"][:, l : l + 2], axis=1).max(initial=1)),
+            int(np.diff(n["lvl_off"][:prev_count, l : l + 2], axis=1).max(initial=1)),
+            1,
+        )
+        a = _level_rows(o, l, prev_count, width)
+        b = _level_rows(n, l, prev_count, width)
+        changed |= (a != b).any(axis=1)
+    changed_old = np.nonzero(changed)[0].tolist()
     changed_new = list(range(prev_count, len(n["level"])))
-    return sorted(changed_old), changed_new
+    return changed_old, changed_new
 
 
 class PatchWriter:
