@@ -175,22 +175,22 @@ def apply_patch(
     lmax_new = max(
         [chal.max_level] + [lv for lv, _ in slices.values()]
     )
-    per_level = [
-        np.full((n_total, max(chal.cap0, chal.cap)), -1, np.int32)
-        for _ in range(lmax_new + 1)
-    ]
+    width = max(chal.cap0, chal.cap)
     levels = np.zeros(n_total, np.int32)
     levels[:prev_count] = c["level"]
-    for v in range(prev_count):
-        if v in slices:
-            continue
-        off = c["lvl_off"][v]
-        for l in range(int(levels[v]) + 1):
-            row = c["nbr"][off[l] : off[l + 1]]
-            per_level[l][v, : len(row)] = row
-    for v, (lv, rows) in slices.items():
+    # bulk-copy untouched nodes per level (vectorized), then overwrite the
+    # patched records
+    per_level = []
+    for l in range(lmax_new + 1):
+        rows = np.full((n_total, width), -1, np.int32)
+        if l <= chal.max_level:
+            rows[:prev_count] = _level_rows(c, l, prev_count, width)
+        per_level.append(rows)
+    for v, (lv, vrows) in slices.items():
         levels[v] = lv
-        for l, row in enumerate(rows):
+        for l in range(lmax_new + 1):
+            row = vrows[l] if l < len(vrows) else np.zeros(0, np.int32)
+            per_level[l][v] = -1
             per_level[l][v, : len(row)] = row
 
     if vectors is not None and new_vecs:
