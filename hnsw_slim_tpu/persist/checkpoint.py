@@ -72,6 +72,79 @@ def load_slim(path: str | Path, search_cfg: SearchConfig | None = None):
     return idx
 
 
+def save_slimq(path: str | Path, index) -> None:
+    """Save an HnswSlimQIndex: graph + quantized payload + rotator flip bits
+    + centroids (hnswalg_slimq.h saveIndex :1183-1202 scope; no raw
+    vectors — the dataset stays external)."""
+    g = index.graph
+    c = index.codes
+    meta = dict(
+        version=FORMAT_VERSION,
+        kind="HnswSlimQIndex",
+        metric=index.metric,
+        max_level=g.max_level,
+        threshold_level=g.threshold_level,
+        cap0=g.cap0,
+        cap=g.cap,
+        entry=int(np.asarray(g.entry)),
+        ex_bits=c.ex_bits,
+        dim=index.rotator.dim,
+    )
+    np.savez(
+        path,
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        nbr=np.asarray(g.nbr),
+        lvl_off=np.asarray(g.lvl_off),
+        level=np.asarray(g.level),
+        bin_code=np.asarray(c.bin_code),
+        f_add=np.asarray(c.f_add),
+        f_rescale=np.asarray(c.f_rescale),
+        f_error=np.asarray(c.f_error),
+        ex_planes=np.asarray(c.ex_planes),
+        f_add_ex=np.asarray(c.f_add_ex),
+        f_rescale_ex=np.asarray(c.f_rescale_ex),
+        f_error_ex=np.asarray(c.f_error_ex),
+        cluster_ids=np.asarray(index.cluster_ids),
+        centroids_rot=np.asarray(index.centroids_rot),
+        flip_bits=index.rotator.state(),
+    )
+
+
+def load_slimq(path: str | Path, search_cfg: SearchConfig | None = None):
+    from ..index.slimq import HnswSlimQIndex
+    from ..quant.rabitq import QuantizedCodes
+    from ..quant.rotator import FhtKacRotator
+
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"].tobytes()).decode())
+        idx = HnswSlimQIndex(metric=meta["metric"], search_cfg=search_cfg)
+        idx.graph = ChalGraph(
+            nbr=jnp.asarray(z["nbr"]),
+            lvl_off=jnp.asarray(z["lvl_off"]),
+            level=jnp.asarray(z["level"]),
+            entry=jnp.asarray(np.int32(meta["entry"])),
+            max_level=meta["max_level"],
+            threshold_level=meta["threshold_level"],
+            cap0=meta["cap0"],
+            cap=meta["cap"],
+        )
+        idx.codes = QuantizedCodes(
+            bin_code=jnp.asarray(z["bin_code"]),
+            f_add=jnp.asarray(z["f_add"]),
+            f_rescale=jnp.asarray(z["f_rescale"]),
+            f_error=jnp.asarray(z["f_error"]),
+            ex_planes=jnp.asarray(z["ex_planes"]),
+            f_add_ex=jnp.asarray(z["f_add_ex"]),
+            f_rescale_ex=jnp.asarray(z["f_rescale_ex"]),
+            f_error_ex=jnp.asarray(z["f_error_ex"]),
+            ex_bits=meta["ex_bits"],
+        )
+        idx.cluster_ids = jnp.asarray(z["cluster_ids"])
+        idx.centroids_rot = jnp.asarray(z["centroids_rot"])
+        idx.rotator = FhtKacRotator.from_state(meta["dim"], z["flip_bits"])
+    return idx
+
+
 def save_hnsw(path: str | Path, index) -> None:
     g = index.graph
     meta = dict(

@@ -86,3 +86,24 @@ def test_diff_patch_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(g2.lvl_off), np.asarray(g.lvl_off)
     )
+
+
+def test_slimq_save_load(tmp_path):
+    from hnsw_slim_tpu.config import QuantConfig
+    from hnsw_slim_tpu.index.slimq import HnswSlimQIndex
+
+    base, queries = clustered(n=1500, dim=32, n_queries=10, seed=34)
+    idx = HnswSlimQIndex.build(
+        base, HnswConfig(M=12, ef_construction=64),
+        quant_cfg=QuantConfig(total_bits=4),
+    )
+    p = tmp_path / "q.npz"
+    checkpoint.save_slimq(p, idx)
+    loaded = checkpoint.load_slimq(p)
+    loaded.set_dataset(base)  # dataset is external (LEANN-style)
+    idx.set_ef(64)
+    loaded.set_ef(64)
+    d1, i1 = idx.search(queries, k=5)
+    d2, i2 = loaded.search(queries, k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5)
