@@ -599,6 +599,7 @@ class HnswBuilder:
             metric=cfg.metric,
         )
 
+        cand_i_np = np.asarray(cand_i)  # one D2H for all levels
         for l in range(int(lp_eff.max(initial=0)), -1, -1):
             active = lp_eff >= l
             if not active.any():
@@ -606,7 +607,7 @@ class HnswBuilder:
             aidx = np.nonzero(active)[0]
             a_ids = ids[aidx]
             cap_l = cfg.maxM0 if l == 0 else cfg.maxM
-            ci_np = np.asarray(cand_i[l])[aidx]
+            ci_np = cand_i_np[l][aidx]
             if l == 0:  # whole batch: one compiled shape
                 na = len(a_ids)
                 ci_pad = _pad_to(ci_np, self.pad_batch)
