@@ -38,3 +38,23 @@ def test_sharded_search_recall():
     # odd batch size (not divisible by dp)
     d1, i1 = idx.search(queries[:3], k=5)
     assert i1.shape == (3, 5)
+
+
+def test_sharded_save_load_and_size(tmp_path):
+    import jax
+
+    from hnsw_slim_tpu.config import SearchConfig
+
+    mesh = make_mesh(8, dp=2)
+    base, queries = clustered(n=1000, dim=16, n_queries=10, seed=43)
+    idx = ShardedSlimIndex(mesh, search_cfg=SearchConfig(ef=32))
+    idx.build(base, hnsw_cfg=HnswConfig(M=8, ef_construction=32))
+    assert idx.index_size() > 0
+    d1, i1 = idx.search(queries, k=5)
+    assert (i1 >= 0).all() and (i1 < 1000).all()
+    # uneven shard count: last shard padded, padded slots never surface
+    base2 = base[:997]
+    idx2 = ShardedSlimIndex(mesh, search_cfg=SearchConfig(ef=32))
+    idx2.build(base2, hnsw_cfg=HnswConfig(M=8, ef_construction=32))
+    _, i2 = idx2.search(queries, k=5)
+    assert (i2 >= 0).all() and (i2 < 997).all()

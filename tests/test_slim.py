@@ -95,3 +95,18 @@ def test_slim_threshold_level_1():
     _, ids = slim.search(queries, k=10)
     hits = sum(len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt))
     assert hits / gt.size >= 0.9
+
+
+def test_slim_ip_metric():
+    base, queries = clustered(n=2500, dim=24, n_queries=40, seed=14)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    hnsw = HnswIndex(HnswConfig(M=16, ef_construction=100, metric="ip"))
+    hnsw.build(base)
+    slim = HnswSlimIndex.from_hnsw(hnsw, SlimConfig.from_ratios())
+    bf = BruteForceIndex(base, metric="ip", chunk=1024)
+    _, gt = bf.search(queries, k=10)
+    slim.set_ef(80)
+    _, ids = slim.search(queries, k=10)
+    hits = sum(len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt))
+    assert hits / gt.size >= 0.85, hits / gt.size
