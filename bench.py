@@ -22,6 +22,14 @@ import os
 import sys
 import time
 
+def _timed(search_fn, queries):
+    import time as _t
+
+    t0 = _t.perf_counter()
+    search_fn(queries, k=10)
+    return _t.perf_counter() - t0
+
+
 N = int(os.environ.get("BENCH_N", 20_000))
 DIM = int(os.environ.get("BENCH_DIM", 128))
 NQ = int(os.environ.get("BENCH_NQ", 1024))
@@ -84,9 +92,10 @@ def main():
     for ef in (32, 48, 64, 96, 128, 192, 256):
         slim.set_ef(ef)
         _, ids = slim.search(queries, k=10)  # compile + warm
-        t0 = time.perf_counter()
-        _, ids = slim.search(queries, k=10)
-        dt = time.perf_counter() - t0
+        dt = min(  # best-of-3: the tunnel adds large run-to-run variance
+            _timed(slim.search, queries)
+            for _ in range(3)
+        )
         hits = sum(
             len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt)
         )
