@@ -19,7 +19,6 @@ Chunk header: u32 magic 'HSLP' | u32 version | u64 cur_count | u32 n_records
 
 from __future__ import annotations
 
-import io
 import struct
 
 import numpy as np
@@ -112,32 +111,50 @@ class PatchWriter:
         return out
 
     def next_chunk(self, limit: int = 200 * 1024 * 1024) -> tuple[bytes, bool]:
-        buf = io.BytesIO()
-        n_records = 0
-        written = 0
         has_vec = self.vectors is not None
         dim = self.vectors.shape[1] if has_vec else 0
-        body = io.BytesIO()
-        while self.ind_old < len(self.old) and written < limit:
-            r = self._record(self.old[self.ind_old], with_vec=False)
-            body.write(struct.pack("<B", 0) + r)
-            written += len(r) + 1
-            self.ind_old += 1
-            n_records += 1
-        while (self.ind_old >= len(self.old) and self.ind_new < len(self.new)
-               and written < limit):
-            r = self._record(self.new[self.ind_new], with_vec=has_vec)
-            body.write(struct.pack("<B", 1) + r)
-            written += len(r) + 1
-            self.ind_new += 1
-            n_records += 1
-        finished = self.ind_old >= len(self.old) and self.ind_new >= len(self.new)
-        buf.write(
-            _HDR.pack(MAGIC, VERSION, self.cur_count, n_records,
-                      1 if has_vec else 0, 1 if finished else 0, 0, dim)
+        rem_old = np.asarray(self.old[self.ind_old :], np.int32)
+        rem_new = np.asarray(self.new[self.ind_new :], np.int32)
+        node_ids = np.concatenate([rem_old, rem_new]).astype(np.int32)
+        flags = np.concatenate(
+            [np.zeros(len(rem_old), np.uint8), np.ones(len(rem_new), np.uint8)]
         )
-        buf.write(body.getvalue())
-        return buf.getvalue(), finished
+        c = self.chal_np
+        if len(node_ids):
+            lv = c["level"][node_ids]
+            off = c["lvl_off"][node_ids]
+            totals = off[np.arange(len(node_ids)), lv + 1] - off[:, 0]
+            sizes = 13 + 4 * (lv + 1) + 4 * totals
+            if has_vec:
+                sizes = sizes + np.where(flags > 0, 4 * dim, 0)
+            # include the record that crosses the limit (genPatch :1454-1457)
+            n_take = int(np.searchsorted(np.cumsum(sizes), limit) + 1)
+            n_take = min(n_take, len(node_ids))
+        else:
+            n_take = 0
+        take_ids = node_ids[:n_take]
+        take_flags = flags[:n_take]
+
+        from ..utils import native
+
+        body = native.patch_encode(
+            take_ids, c["level"], c["lvl_off"], c["nbr"],
+            self.vectors if has_vec else None, take_flags,
+        ) if n_take else b""
+        if body is None:  # numpy fallback
+            parts = []
+            for v, isn in zip(take_ids, take_flags):
+                parts.append(struct.pack("<B", int(isn)))
+                parts.append(self._record(int(v), with_vec=bool(isn) and has_vec))
+            body = b"".join(parts)
+
+        n_old_taken = int((take_flags == 0).sum())
+        self.ind_old += n_old_taken
+        self.ind_new += n_take - n_old_taken
+        finished = self.ind_old >= len(self.old) and self.ind_new >= len(self.new)
+        hdr = _HDR.pack(MAGIC, VERSION, self.cur_count, n_take,
+                        1 if has_vec else 0, 1 if finished else 0, 0, dim)
+        return hdr + body, finished
 
 
 def apply_patch(
@@ -156,20 +173,36 @@ def apply_patch(
     prev_count = len(c["level"])
     slices = {}  # v -> (level, [np arrays per level])
     new_vecs = {}
-    for _ in range(n_records):
-        (is_new,) = struct.unpack_from("<B", patch, pos)
-        pos += 1
-        v, lv, total = struct.unpack_from("<iii", patch, pos)
-        pos += 12
-        rel = np.frombuffer(patch, np.uint32, lv + 1, pos)
-        pos += 4 * (lv + 1)
-        ids = np.frombuffer(patch, np.int32, total, pos)
-        pos += 4 * total
-        starts = np.concatenate([[0], rel[:-1]]).astype(np.int64)
-        slices[v] = (lv, [ids[s:e] for s, e in zip(starts, rel)])
-        if is_new and has_vec:
-            new_vecs[v] = np.frombuffer(patch, np.float32, dim, pos)
-            pos += 4 * dim
+    from ..utils import native
+
+    dec = native.patch_decode(
+        patch[pos:], bool(has_vec), dim, max_level_cap=16,
+        max_records=n_records,
+    ) if n_records else None
+    if dec is not None:
+        for r in range(len(dec["ids"])):
+            v, lv = int(dec["ids"][r]), int(dec["levels"][r])
+            seg = dec["nbr"][dec["nbr_off"][r] : dec["nbr_off"][r + 1]]
+            rel = dec["rel"][r, : lv + 1]
+            starts = np.concatenate([[0], rel[:-1]]).astype(np.int64)
+            slices[v] = (lv, [seg[s:e] for s, e in zip(starts, rel)])
+            if dec["is_new"][r] and has_vec:
+                new_vecs[v] = dec["vecs"][r]
+    else:
+        for _ in range(n_records):
+            (is_new,) = struct.unpack_from("<B", patch, pos)
+            pos += 1
+            v, lv, total = struct.unpack_from("<iii", patch, pos)
+            pos += 12
+            rel = np.frombuffer(patch, np.uint32, lv + 1, pos)
+            pos += 4 * (lv + 1)
+            ids = np.frombuffer(patch, np.int32, total, pos)
+            pos += 4 * total
+            starts = np.concatenate([[0], rel[:-1]]).astype(np.int64)
+            slices[v] = (lv, [ids[s:e] for s, e in zip(starts, rel)])
+            if is_new and has_vec:
+                new_vecs[v] = np.frombuffer(patch, np.float32, dim, pos)
+                pos += 4 * dim
 
     n_total = max(int(cur_count), prev_count)
     lmax_new = max(

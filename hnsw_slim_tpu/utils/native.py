@@ -47,6 +47,13 @@ def _lib():
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32
         ]
         lib.vecs_write.restype = ctypes.c_int64
+        i64, i32, p = ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p
+        lib.patch_encode.argtypes = [p, i64, p, p, i32, p, p, i32, p, p, i64]
+        lib.patch_encode.restype = i64
+        lib.patch_decode.argtypes = [
+            p, i64, i32, i32, i32, p, p, p, p, i64, p, p, p, i64,
+        ]
+        lib.patch_decode.restype = i64
         _LIB = lib
     return _LIB
 
@@ -84,3 +91,70 @@ def write_vecs(path, data: np.ndarray) -> bool:
     n, d = data.shape
     got = lib.vecs_write(str(path).encode(), data.ctypes.data, n, d)
     return got == n
+
+
+def patch_encode(node_ids, levels, lvl_off, nbr, vectors, is_new) -> bytes | None:
+    """Native record encoding (persist/patch.py wire format); None if the
+    library is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    node_ids = np.ascontiguousarray(node_ids, np.int32)
+    levels = np.ascontiguousarray(levels, np.int32)
+    lvl_off = np.ascontiguousarray(lvl_off, np.int32)
+    nbr = np.ascontiguousarray(nbr, np.int32)
+    is_new = np.ascontiguousarray(is_new, np.uint8)
+    dim = 0
+    vec_ptr = None
+    if vectors is not None:
+        vectors = np.ascontiguousarray(vectors, np.float32)
+        dim = vectors.shape[1]
+        vec_ptr = vectors.ctypes.data
+    lv = levels[node_ids]
+    off = lvl_off[node_ids]
+    totals = off[np.arange(len(node_ids)), lv + 1] - off[:, 0]
+    cap = int(
+        (13 + 4 * (lv + 1) + 4 * totals
+         + np.where(is_new > 0, 4 * dim, 0)).sum()
+    ) + 64
+    out = np.empty(cap, np.uint8)
+    got = lib.patch_encode(
+        node_ids.ctypes.data, len(node_ids), levels.ctypes.data,
+        lvl_off.ctypes.data, lvl_off.shape[1], nbr.ctypes.data,
+        vec_ptr, dim, is_new.ctypes.data, out.ctypes.data, cap,
+    )
+    if got < 0:
+        raise RuntimeError(f"patch_encode failed: {got}")
+    return out[:got].tobytes()
+
+
+def patch_decode(body: bytes, has_vec: bool, dim: int, max_level_cap: int,
+                 max_records: int):
+    """Native record decoding. Returns dict of arrays or None."""
+    lib = _lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(body, np.uint8)
+    n = max_records
+    out_ids = np.empty(n, np.int32)
+    out_levels = np.empty(n, np.int32)
+    out_rel = np.empty((n, max_level_cap + 2), np.int32)
+    nbr_cap = max(len(body) // 4 + 1, 1)
+    out_nbr = np.empty(nbr_cap, np.int32)
+    out_nbr_off = np.empty(n + 1, np.int64)
+    out_vecs = np.empty((n, dim if has_vec else 1), np.float32)
+    out_is_new = np.empty(n, np.uint8)
+    got = lib.patch_decode(
+        buf.ctypes.data, len(body), 1 if has_vec else 0, dim, max_level_cap,
+        out_ids.ctypes.data, out_levels.ctypes.data, out_rel.ctypes.data,
+        out_nbr.ctypes.data, nbr_cap, out_nbr_off.ctypes.data,
+        out_vecs.ctypes.data, out_is_new.ctypes.data, n,
+    )
+    if got < 0:
+        raise RuntimeError(f"patch_decode failed: {got}")
+    got = int(got)
+    return dict(
+        ids=out_ids[:got], levels=out_levels[:got], rel=out_rel[:got],
+        nbr=out_nbr, nbr_off=out_nbr_off[: got + 1],
+        vecs=out_vecs[:got], is_new=out_is_new[:got],
+    )
