@@ -53,11 +53,13 @@ class HnswIndex:
     """
 
     def __init__(self, cfg: HnswConfig, search_cfg: SearchConfig | None = None,
-                 max_batch: int = 4096, strategy: str = "nnd"):
+                 max_batch: int = 4096, strategy: str = "nnd",
+                 nnd_opts: dict | None = None):
         self.cfg = cfg
         self.scfg = search_cfg or SearchConfig(ef=cfg.ef_search)
         self.max_batch = max_batch
         self.strategy = strategy
+        self.nnd_opts = nnd_opts or {}
         self.graph: LevelGraph | None = None
         self.levels: np.ndarray | None = None
         self.vectors = None
@@ -72,7 +74,8 @@ class HnswIndex:
             from ..graph.build import build_by_nnd
 
             self.graph, self.levels = build_by_nnd(
-                self.cfg, np.asarray(vectors), verbose=verbose
+                self.cfg, np.asarray(vectors), verbose=verbose,
+                **self.nnd_opts,
             )
         else:
             self.graph, self.levels = HnswBuilder(self.cfg, self.max_batch).build(

@@ -200,6 +200,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="build from first N base vectors (main_partial.cc)")
     p.add_argument("--index_dir", default="")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--profile_dir", default="",
+                   help="write a jax.profiler trace of the query phase here")
     return p
 
 
@@ -227,7 +229,13 @@ def main(argv=None) -> float:
     a = build_parser().parse_args(argv)
     resolve_paths(a)
     strat = STRATEGIES[a.solve_strategy](a)
-    strat.solve()
+    if a.profile_dir:
+        import jax
+
+        with jax.profiler.trace(a.profile_dir):
+            strat.solve()
+    else:
+        strat.solve()
     strat.save_knn()
     if a.solve_strategy != "bruteforce":
         return strat.recall()

@@ -67,3 +67,21 @@ def test_bf16_storage_recall():
     _, ids = idx.search(queries, k=10)
     hits = sum(len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt))
     assert hits / gt.size >= 0.93, hits / gt.size
+
+
+def test_degenerate_duplicates_and_zeros():
+    # many exact duplicates + zero vectors must not break build or search
+    rng = np.random.default_rng(15)
+    uniq = rng.standard_normal((300, 16)).astype(np.float32)
+    base = np.concatenate([
+        uniq,
+        np.repeat(uniq[:50], 5, axis=0),  # 250 duplicates
+        np.zeros((20, 16), np.float32),
+    ])
+    idx = HnswIndex(HnswConfig(M=8, ef_construction=48, ef_search=48))
+    idx.build(base)
+    idx.check_integrity()
+    q = uniq[:10]
+    d, ids = idx.search(q, k=1)
+    # nearest neighbor of an exact dataset point must have distance 0
+    np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-5)
