@@ -145,6 +145,37 @@ class ShardedSlimIndex:
         )
         return np.asarray(d)[:b], np.asarray(i)[:b]
 
+    def save(self, path) -> None:
+        """Persist the stacked shard arrays + metadata (one npz)."""
+        import json
+
+        import numpy as np
+
+        meta = dict(meta=self.meta, metric=self.metric,
+                    mesh_shape=dict(self.mesh.shape))
+        np.savez(
+            path,
+            meta_json=np.frombuffer(json.dumps(meta).encode(), np.uint8),
+            **{k: np.asarray(v) for k, v in self.arrays.items()},
+        )
+
+    @classmethod
+    def load(cls, path, mesh: Mesh, search_cfg: SearchConfig | None = None):
+        import json
+
+        import numpy as np
+
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["meta_json"].tobytes()).decode())
+            idx = cls(mesh, metric=meta["metric"], search_cfg=search_cfg)
+            sh = lambda *spec: NamedSharding(mesh, P(*spec))
+            idx.arrays = {
+                k: jax.device_put(z[k], sh("shard"))
+                for k in ("nbr", "off", "ent", "vecs", "vn", "gid")
+            }
+            idx.meta = meta["meta"]
+        return idx
+
     def index_size(self) -> int:
         nbr = np.asarray(self.arrays["nbr"])
         off = np.asarray(self.arrays["off"])

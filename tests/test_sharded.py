@@ -58,3 +58,10 @@ def test_sharded_save_load_and_size(tmp_path):
     idx2.build(base2, hnsw_cfg=HnswConfig(M=8, ef_construction=32))
     _, i2 = idx2.search(queries, k=5)
     assert (i2 >= 0).all() and (i2 < 997).all()
+
+    # save/load roundtrip: identical results
+    p = tmp_path / "sharded.npz"
+    idx.save(p)
+    loaded = ShardedSlimIndex.load(p, mesh, search_cfg=SearchConfig(ef=32))
+    d3, i3 = loaded.search(queries, k=5)
+    np.testing.assert_array_equal(i3, i1)
