@@ -82,6 +82,35 @@ class SlimClient:
         finally:
             c.close()
 
+    def bootstrap(self):
+        """Fetch the server's full slim index (fresh-client join)."""
+        import io as _io
+
+        from ..persist import checkpoint as _cp
+
+        c = self._conn()
+        try:
+            c.request("GET", "/getIndex")
+            r = c.getresponse()
+            data = r.read()
+        finally:
+            c.close()
+        return _cp.load_slim(_io.BytesIO(data))
+
+    def get_vectors(self, start: int, count: int):
+        import http.client as _hc  # noqa: F401
+
+        c = self._conn()
+        try:
+            c.request("GET", f"/getVectors?start={start}&count={count}")
+            r = c.getresponse()
+            data = r.read()
+            dim = int(r.getheader("X-Dim"))
+            n = int(r.getheader("X-Count"))
+        finally:
+            c.close()
+        return np.frombuffer(data, np.float32).reshape(n, dim)
+
     def mark_delete(self, ids) -> int:
         data, _ = self._post(
             "/markDelete", json.dumps([int(i) for i in ids]).encode()

@@ -237,7 +237,30 @@ class SlimServer:
                     self.send_error(500, str(e))
 
             def do_GET(self):
-                if self.path == "/getLastBatch":
+                if self.path.startswith("/getIndex"):
+                    # client bootstrap: the full slim checkpoint (the
+                    # reference ships the initial index file out-of-band)
+                    import io as _io
+
+                    from ..persist import checkpoint as _cp
+                    buf = _io.BytesIO()
+                    _cp.save_slim(buf, server.slim)
+                    self._send(buf.getvalue())
+                elif self.path.startswith("/getVectors"):
+                    # bulk raw-vector range (putVector/getVectorFromBatch,
+                    # hnswalg_slim.h:2254-2290)
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    start = int(q.get("start", ["0"])[0])
+                    count = int(q.get("count", ["65536"])[0])
+                    arr = np.asarray(server.slim.vectors)[start : start + count]
+                    self._send(
+                        np.ascontiguousarray(arr, np.float32).tobytes(),
+                        extra={"X-Dim": str(arr.shape[1]),
+                               "X-Count": str(arr.shape[0])},
+                    )
+                elif self.path == "/getLastBatch":
                     w = server.pending_writer
                     if w is None:
                         self._send(b"", extra={"X-Patch-Finished": "1"})

@@ -117,3 +117,17 @@ def test_replace_deleted_slot_reuse():
     # patch records for reused slots carry vectors (classified as new)
     blob, fin = writer.next_chunk()
     assert fin and len(blob) > 0
+
+
+def test_bootstrap_and_vector_fetch(served):
+    server, client, base, queries = served
+    local = client.bootstrap()
+    assert local.graph.n == server.slim.graph.n
+    local.set_ef(64)
+    d1, i1 = local.search(queries[:5], k=5)
+    d2, i2 = server.slim.search(queries[:5], k=5)
+    np.testing.assert_array_equal(i1, i2)
+    vecs = client.get_vectors(10, 7)
+    np.testing.assert_allclose(
+        vecs, np.asarray(server.slim.vectors)[10:17], rtol=1e-6
+    )
