@@ -116,6 +116,11 @@ class SearchConfig:
     # Expand this many best-unchecked entries per beam iteration
     # (DiskANN-style beamwidth; 1 = exact reference semantics).
     pop_width: int = 1
+    # dynamic_ef: compile ONE program with an ef_max-wide buffer and pass the
+    # runtime ef as data — set_ef becomes compile-free (the reference's setEf)
+    # at the cost of always paying the ef_max sort width.
+    dynamic_ef: bool = False
+    ef_max: int = 256
 
     def iters(self) -> int:
         return self.max_iters if self.max_iters > 0 else 4 * self.ef + 32

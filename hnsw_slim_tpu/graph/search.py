@@ -163,6 +163,7 @@ def beam_level_scored(
     ef: int,
     max_iters: int,
     pop_width: int = 1,
+    ef_eff: jnp.ndarray | None = None,
 ) -> BeamState:
     """Best-first beam search at one level with a pluggable scorer.
 
@@ -173,6 +174,10 @@ def beam_level_scored(
     pop_width > 1 expands the E best unchecked entries per iteration
     (DiskANN-style beamwidth): fewer, fatter device steps; recall at equal
     ef is unchanged or better (a strict superset of nodes is expanded).
+
+    ef_eff (traced scalar, <= ef) restricts the working buffer to its first
+    ef_eff slots: one compiled program serves any runtime ef (the reference's
+    free setEf, hnswalg_slim.h:346-349), trading sort width for compile reuse.
     """
     b = active.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, ef), 1)
@@ -186,7 +191,13 @@ def beam_level_scored(
         st, done, iters, hops, dcomp = carry
         buf_d, buf_id, buf_chk = st
         unchk = (buf_chk == 0) & (buf_id >= 0)
-        bound = buf_d[:, ef - 1]  # inf while not full
+        if ef_eff is not None:
+            unchk = unchk & (pos < ef_eff)
+            bound = jnp.take_along_axis(
+                buf_d, jnp.broadcast_to(ef_eff - 1, (b,))[:, None], axis=1
+            )[:, 0]
+        else:
+            bound = buf_d[:, ef - 1]  # inf while not full
         # rank among unchecked; buffer is sorted so rank orders by distance
         rank = jnp.cumsum(unchk.astype(jnp.int32), axis=1) - 1
         # termination judged on the single best unchecked (reference rule)
@@ -266,11 +277,12 @@ def beam_level(
     metric: str,
     precision,
     pop_width: int = 1,
+    ef_eff: jnp.ndarray | None = None,
 ) -> BeamState:
     """Beam search with exact distances (the Slim/HNSW path)."""
     score = make_exact_scorer(vectors, vn, q, qn, metric, precision)
     return beam_level_scored(fetch, score, state, active, ef, max_iters,
-                             pop_width)
+                             pop_width, ef_eff)
 
 
 def level_search(
@@ -329,6 +341,7 @@ def chal_search(
     metric: str,
     precision,
     pop_width: int = 1,
+    ef_eff: jnp.ndarray | None = None,
 ):
     """Full Slim query path (hnswalg_slim.h searchKnn :2030-2131):
     greedy descent for levels max_level..threshold_level+1, beam search for
@@ -356,7 +369,7 @@ def chal_search(
         fetch = make_chal_fetch(graph_nbr, graph_lvl_off, l, cap if l > 0 else cap0)
         state, h, dc = beam_level(
             fetch, vectors, vn, q, qn, state, always, ef, max_iters, metric,
-            precision, pop_width,
+            precision, pop_width, ef_eff,
         )
         hops += h
         dcomp += dc

@@ -42,6 +42,27 @@ def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_level", "threshold_level", "cap0", "cap", "ef_max", "k",
+        "max_iters", "metric", "pop_width",
+    ),
+)
+def _chal_search_dyn_jit(nbr, lvl_off, entry, vectors, vn, q, ef_eff, *,
+                         max_level, threshold_level, cap0, cap, ef_max, k,
+                         max_iters, metric, pop_width=1):
+    return gs.chal_search(
+        nbr, lvl_off, entry, vectors, vn, q,
+        max_level=max_level, threshold_level=threshold_level,
+        cap0=cap0, cap=cap, ef=ef_max, k=k, max_iters=max_iters,
+        metric=metric,
+        precision=jax.lax.Precision.HIGHEST,
+        pop_width=pop_width,
+        ef_eff=ef_eff,
+    )
+
+
 class HnswSlimIndex:
     """Pruned (Slim) index. Single-writer: mutation happens through
     whole-graph conversion, like the reference (hnswalg_slim.h:149-152)."""
@@ -92,12 +113,28 @@ class HnswSlimIndex:
         self.scfg = SearchConfig(
             ef=ef, max_iters=self.scfg.max_iters,
             pop_width=self.scfg.pop_width,
+            dynamic_ef=self.scfg.dynamic_ef, ef_max=self.scfg.ef_max,
         )
 
     def search(self, queries: np.ndarray, k: int):
         """(dists f32[B,k], ids i32[B,k]) — searchKnn (hnswalg_slim.h:2030)."""
         g = self.graph
         ef = max(self.scfg.ef, k)
+        if self.scfg.dynamic_ef:
+            d, i, hops, dcomp = _chal_search_dyn_jit(
+                g.nbr, g.lvl_off, g.entry, self.vectors, self.vn,
+                jnp.asarray(np.asarray(queries, np.float32)),
+                jnp.int32(min(ef, self.scfg.ef_max)),
+                max_level=g.max_level, threshold_level=g.threshold_level,
+                cap0=g.cap0, cap=g.cap, ef_max=self.scfg.ef_max, k=k,
+                max_iters=self.scfg.iters(),
+                metric=self.metric, pop_width=self.scfg.pop_width,
+            )
+            self.last_stats = {
+                "hops": int(np.asarray(hops).sum()),
+                "distance_computations": int(np.asarray(dcomp).sum()),
+            }
+            return np.asarray(d), np.asarray(i)
         d, i, hops, dcomp = _chal_search_jit(
             g.nbr, g.lvl_off, g.entry, self.vectors, self.vn,
             jnp.asarray(np.asarray(queries, np.float32)),

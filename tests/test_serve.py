@@ -131,3 +131,19 @@ def test_bootstrap_and_vector_fetch(served):
     np.testing.assert_allclose(
         vecs, np.asarray(server.slim.vectors)[10:17], rtol=1e-6
     )
+
+
+def test_concurrent_queries_batched(served):
+    from concurrent.futures import ThreadPoolExecutor
+
+    server, client, base, queries = served
+    bf = BruteForceIndex(base[:2000], chunk=1024)
+    _, gt = bf.search(queries, k=5)
+
+    def one(i):
+        _, labels = client.query(queries[i], k=5)
+        return len(set(labels.tolist()) & set(gt[i].tolist()))
+
+    with ThreadPoolExecutor(max_workers=10) as ex:
+        hits = sum(ex.map(one, range(len(queries))))
+    assert hits / gt.size >= 0.8

@@ -110,3 +110,30 @@ def test_slim_ip_metric():
     _, ids = slim.search(queries, k=10)
     hits = sum(len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt))
     assert hits / gt.size >= 0.85, hits / gt.size
+
+
+def test_dynamic_ef_matches_static():
+    from hnsw_slim_tpu.config import SearchConfig
+
+    base, queries, hnsw = _build_pair(n=2000, nq=30)
+    slim = HnswSlimIndex.from_hnsw(hnsw, SlimConfig.from_ratios())
+    bf = BruteForceIndex(base, chunk=1024)
+    _, gt = bf.search(queries, k=10)
+
+    slim.scfg = SearchConfig(ef=64)
+    _, i_static = slim.search(queries, k=10)
+    h_static = sum(len(set(a.tolist()) & set(b.tolist()))
+                   for a, b in zip(i_static, gt))
+
+    slim.scfg = SearchConfig(ef=64, dynamic_ef=True, ef_max=128)
+    _, i_dyn = slim.search(queries, k=10)
+    h_dyn = sum(len(set(a.tolist()) & set(b.tolist()))
+                for a, b in zip(i_dyn, gt))
+    # dynamic-ef expands the same frontier; the wider scratch buffer can only
+    # add candidates, so recall must be >= the static program's
+    assert h_dyn >= h_static - 2, (h_dyn, h_static)
+
+    # set_ef with dynamic_ef reuses the SAME compiled program (no retrace)
+    slim.set_ef(32)
+    _, i32 = slim.search(queries, k=10)
+    assert i32.shape == (30, 10)
