@@ -121,6 +121,82 @@ def rp_init(key, vectors, vn, n_valid, *, k: int, n_proj: int, chunk: int,
     return ids, dists, newf
 
 
+@functools.partial(jax.jit, static_argnames=("s_fwd", "r_rev"))
+def _nnd_candidates(
+    key,
+    ids: jnp.ndarray,
+    newf: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    *,
+    s_fwd: int,
+    r_rev: int,
+):
+    """Candidate generation (forward 2-hop, reverse, local join) as its own
+    compiled program — separated from the merge so each piece caches
+    independently (large fused programs have stalled the remote compiler)."""
+    n, k = ids.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    rand_key = jax.random.uniform(k1, (n, k))
+    pivot_score = jnp.where(newf == 1, rand_key, rand_key + 2.0)
+    pivot_score = jnp.where(ids >= 0, pivot_score, jnp.inf)
+    piv = jnp.argsort(pivot_score, axis=1)[:, :s_fwd]
+    mid = jnp.take_along_axis(ids, piv, axis=1)
+    r2 = jax.random.randint(k2, (n, s_fwd), 0, k)
+    flat = ids.reshape(-1)
+    fwd = jnp.where(mid >= 0, flat[jnp.maximum(mid, 0) * k + r2], -1)
+
+    cleared = jnp.zeros_like(newf).at[
+        lax.broadcasted_iota(jnp.int32, (n, s_fwd), 0), piv
+    ].set(1)
+    newf = jnp.where(cleared == 1, 0, newf)
+
+    tgt = ids.reshape(-1)
+    src = jnp.repeat(
+        lax.broadcasted_iota(jnp.int32, (n, 1), 0), k, axis=1
+    ).reshape(-1)
+    tgt_s = jnp.where(tgt >= 0, tgt, n)
+    st, ss = lax.sort((tgt_s, src), dimension=0, num_keys=1)
+    iota = lax.broadcasted_iota(jnp.int32, (n * k, 1), 0)[:, 0]
+    first = jnp.concatenate([jnp.ones((1,), bool), st[1:] != st[:-1]])
+    runstart = lax.associative_scan(jnp.maximum, jnp.where(first, iota, 0))
+    rank = iota - runstart
+    keep = (rank < r_rev) & (st < n) & (ss < n_valid)
+    rev = jnp.full((n + 1, r_rev), -1, jnp.int32)
+    rev = rev.at[jnp.where(keep, st, n), jnp.where(keep, rank, 0)].set(
+        jnp.where(keep, ss, -1)
+    )[:n]
+
+    k4, k5 = jax.random.split(k3)
+    r3 = jax.random.randint(k4, (n, s_fwd), 0, r_rev)
+    jrev = jnp.take_along_axis(rev, r3, axis=1)
+    r4 = jax.random.randint(k5, (n, s_fwd), 0, k)
+    join = jnp.where(jrev >= 0, flat[jnp.maximum(jrev, 0) * k + r4], -1)
+
+    return jnp.concatenate([fwd, rev, join], axis=1), newf
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "metric"))
+def _nnd_merge(ids, dists, newf, vectors, vn, cand, *, chunk, metric):
+    return _chunked_cand_merge(
+        vectors, vn, ids, dists, newf, cand, chunk, metric,
+        jax.lax.Precision.DEFAULT,
+    )
+
+
+def nnd_round_split(
+    key, ids, dists, newf, vectors, vn, n_valid, *, s_fwd, r_rev, chunk, metric
+):
+    """Two-program variant of nnd_round (candidates | merge)."""
+    cand, newf = _nnd_candidates(
+        key, ids, newf, n_valid, s_fwd=s_fwd, r_rev=r_rev
+    )
+    ids, dists, newf, inserted = _nnd_merge(
+        ids, dists, newf, vectors, vn, cand, chunk=chunk, metric=metric
+    )
+    return ids, dists, newf, inserted
+
+
 @functools.partial(
     jax.jit, static_argnames=("s_fwd", "r_rev", "chunk", "metric")
 )
@@ -226,7 +302,7 @@ def nn_descent(
     )
     for r in range(rounds):
         key, sub = jax.random.split(key)
-        ids, dists, newf, inserted = nnd_round(
+        ids, dists, newf, inserted = nnd_round_split(
             sub, ids, dists, newf, vectors, vn, nv,
             s_fwd=s_fwd, r_rev=r_rev, chunk=chunk, metric=metric,
         )
