@@ -43,6 +43,18 @@ def _compact_rows(a: np.ndarray) -> np.ndarray:
     return np.take_along_axis(a, order, axis=1)
 
 
+def _apply_filter(d, i, mask, k):
+    out_d = np.full((d.shape[0], k), np.inf, np.float32)
+    out_i = np.full((i.shape[0], k), -1, np.int32)
+    for r in range(d.shape[0]):
+        ok = (i[r] >= 0) & mask[np.maximum(i[r], 0)]
+        sel_i = i[r][ok][:k]
+        sel_d = d[r][ok][:k]
+        out_i[r, : len(sel_i)] = sel_i
+        out_d[r, : len(sel_d)] = sel_d
+    return out_d, out_i
+
+
 class HnswIndex:
     """Build-once, query-many vanilla HNSW.
 
@@ -157,14 +169,16 @@ class HnswIndex:
             pop_width=self.scfg.pop_width,
         )
 
-    def search(self, queries: np.ndarray, k: int):
+    def search(self, queries: np.ndarray, k: int,
+               filter_mask: np.ndarray | None = None):
         """(dists f32[B, k], ids i32[B, k]) approximate top-k, ascending."""
         g = self.graph
         ef = max(self.scfg.ef, k)
         d, i, hops, dcomp = _search_jit(
             g.adjs, g.entry, self.vectors, self.vn,
             jnp.asarray(np.asarray(queries, np.float32)),
-            max_level=g.max_level, ef=ef, k=k,
+            max_level=g.max_level, ef=ef,
+            k=ef if filter_mask is not None else k,
             max_iters=self.scfg.iters(),
             metric=self.cfg.metric, pop_width=self.scfg.pop_width,
         )
@@ -173,6 +187,13 @@ class HnswIndex:
             "hops": int(np.asarray(hops).sum()),
             "distance_computations": int(np.asarray(dcomp).sum()),
         }
+        if filter_mask is not None:
+            # BaseFilterFunctor semantics (hnswlib.h:124-133): disallowed ids
+            # are traversed but never returned. Applied to the ef-wide buffer;
+            # rows may under-fill if fewer than k allowed ids were found.
+            d, i = _apply_filter(np.asarray(d), np.asarray(i),
+                                 np.asarray(filter_mask, bool), k)
+            return d, i
         return np.asarray(d), np.asarray(i)
 
     def check_integrity(self) -> dict:

@@ -63,6 +63,18 @@ def _chal_search_dyn_jit(nbr, lvl_off, entry, vectors, vn, q, ef_eff, *,
     )
 
 
+def _apply_filter(d, i, mask, k):
+    out_d = np.full((d.shape[0], k), np.inf, np.float32)
+    out_i = np.full((i.shape[0], k), -1, np.int32)
+    for r in range(d.shape[0]):
+        ok = (i[r] >= 0) & mask[np.maximum(i[r], 0)]
+        sel_i = i[r][ok][:k]
+        sel_d = d[r][ok][:k]
+        out_i[r, : len(sel_i)] = sel_i
+        out_d[r, : len(sel_d)] = sel_d
+    return out_d, out_i
+
+
 class HnswSlimIndex:
     """Pruned (Slim) index. Single-writer: mutation happens through
     whole-graph conversion, like the reference (hnswalg_slim.h:149-152)."""
@@ -116,7 +128,8 @@ class HnswSlimIndex:
             dynamic_ef=self.scfg.dynamic_ef, ef_max=self.scfg.ef_max,
         )
 
-    def search(self, queries: np.ndarray, k: int):
+    def search(self, queries: np.ndarray, k: int,
+               filter_mask: np.ndarray | None = None):
         """(dists f32[B,k], ids i32[B,k]) — searchKnn (hnswalg_slim.h:2030)."""
         g = self.graph
         ef = max(self.scfg.ef, k)
@@ -126,7 +139,8 @@ class HnswSlimIndex:
                 jnp.asarray(np.asarray(queries, np.float32)),
                 jnp.int32(min(ef, self.scfg.ef_max)),
                 max_level=g.max_level, threshold_level=g.threshold_level,
-                cap0=g.cap0, cap=g.cap, ef_max=self.scfg.ef_max, k=k,
+                cap0=g.cap0, cap=g.cap, ef_max=self.scfg.ef_max,
+                k=self.scfg.ef_max if filter_mask is not None else k,
                 max_iters=self.scfg.iters(),
                 metric=self.metric, pop_width=self.scfg.pop_width,
             )
@@ -139,7 +153,8 @@ class HnswSlimIndex:
             g.nbr, g.lvl_off, g.entry, self.vectors, self.vn,
             jnp.asarray(np.asarray(queries, np.float32)),
             max_level=g.max_level, threshold_level=g.threshold_level,
-            cap0=g.cap0, cap=g.cap, ef=ef, k=k,
+            cap0=g.cap0, cap=g.cap, ef=ef,
+            k=ef if filter_mask is not None else k,
             max_iters=self.scfg.iters(),
             metric=self.metric, pop_width=self.scfg.pop_width,
         )
@@ -148,6 +163,13 @@ class HnswSlimIndex:
             "hops": int(np.asarray(hops).sum()),
             "distance_computations": int(np.asarray(dcomp).sum()),
         }
+        if filter_mask is not None:
+            # BaseFilterFunctor semantics (hnswlib.h:124-133): disallowed ids
+            # are traversed but never returned. Applied to the ef-wide buffer;
+            # rows may under-fill if fewer than k allowed ids were found.
+            d, i = _apply_filter(np.asarray(d), np.asarray(i),
+                                 np.asarray(filter_mask, bool), k)
+            return d, i
         return np.asarray(d), np.asarray(i)
 
     def index_size(self) -> int:

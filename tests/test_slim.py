@@ -137,3 +137,18 @@ def test_dynamic_ef_matches_static():
     slim.set_ef(32)
     _, i32 = slim.search(queries, k=10)
     assert i32.shape == (30, 10)
+
+
+def test_filtered_search():
+    base, queries, hnsw = _build_pair(n=2000, nq=20)
+    slim = HnswSlimIndex.from_hnsw(hnsw, SlimConfig.from_ratios())
+    slim.set_ef(80)
+    mask = np.ones(2000, bool)
+    mask[::2] = False  # only odd ids allowed
+    d, ids = slim.search(queries, k=10, filter_mask=mask)
+    valid = ids >= 0
+    assert valid.sum() > 0
+    assert (ids[valid] % 2 == 1).all()
+    # unfiltered results include even ids
+    _, ids2 = slim.search(queries, k=10)
+    assert (ids2[ids2 >= 0] % 2 == 0).any()
