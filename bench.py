@@ -32,7 +32,7 @@ def _timed(search_fn, queries):
 
 N = int(os.environ.get("BENCH_N", 20_000))
 DIM = int(os.environ.get("BENCH_DIM", 128))
-NQ = int(os.environ.get("BENCH_NQ", 4096))
+NQ = int(os.environ.get("BENCH_NQ", 1024))
 BASELINE_QPS = 4450.0
 
 
