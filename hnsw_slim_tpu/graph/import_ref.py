@@ -1,0 +1,78 @@
+"""Import a reference-built slim graph (parity/ref_harness.cc dump format).
+
+SURVEY §7 step 2's oracle: serve the EXACT graph the reference C++ engine
+built and compare search behavior — this isolates the search kernels from the
+build pipeline, and lets reference-speed CPU builds feed TPU serving.
+
+Dump format (parity/ref_harness.cc dump_slim_graph):
+    u32 magic 'HSLG' | u32 n | i32 maxlevel | u32 entry | i32 Lt |
+    u32 maxM | u32 maxM0 | per node: i32 level | u32 total |
+    u32 end_off[level+1] | i32 ids[total]
+"""
+
+from __future__ import annotations
+
+import struct
+
+import jax.numpy as jnp
+import numpy as np
+
+from .types import ChalGraph
+
+MAGIC = 0x48534C47
+
+
+def load_ref_slim_graph(path: str) -> ChalGraph:
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, n, maxlevel, entry, lt, maxm, maxm0 = struct.unpack_from(
+        "<IIiIiII", data, 0
+    )
+    if magic != MAGIC:
+        raise ValueError("bad slim graph dump")
+    pos = 28
+
+    levels = np.zeros(n, np.int32)
+    lvl_off = np.zeros((n, maxlevel + 2), np.int64)
+    chunks = []
+    total_edges = 0
+    for v in range(n):
+        lv, total = struct.unpack_from("<iI", data, pos)
+        pos += 8
+        ends = np.frombuffer(data, np.uint32, lv + 1, pos)
+        pos += 4 * (lv + 1)
+        ids = np.frombuffer(data, np.int32, total, pos)
+        pos += 4 * total
+        levels[v] = lv
+        lvl_off[v, 0] = total_edges
+        for l in range(maxlevel + 1):
+            end = ends[min(l, lv)] if l <= lv else ends[lv]
+            lvl_off[v, l + 1] = total_edges + int(end)
+        chunks.append(ids)
+        total_edges += total
+    flat = np.concatenate(chunks) if chunks else np.zeros(0, np.int32)
+    e_pad = max(1024, 1 << (total_edges - 1).bit_length())
+    nbr = np.full(e_pad, -1, np.int32)
+    nbr[:total_edges] = flat
+
+    return ChalGraph(
+        nbr=jnp.asarray(nbr),
+        lvl_off=jnp.asarray(lvl_off.astype(np.int32)),
+        level=jnp.asarray(levels),
+        entry=jnp.asarray(np.int32(entry)),
+        max_level=int(maxlevel),
+        threshold_level=int(lt),
+        cap0=int(maxm0),
+        cap=int(maxm),
+    )
+
+
+def slim_index_from_ref(graph_path: str, vectors: np.ndarray, metric="l2"):
+    from ..index.slim import HnswSlimIndex
+    from ..ops import distance
+
+    idx = HnswSlimIndex(metric=metric)
+    idx.graph = load_ref_slim_graph(graph_path)
+    idx.vectors = jnp.asarray(np.asarray(vectors, np.float32))
+    idx.vn = distance.sq_norms(idx.vectors)
+    return idx

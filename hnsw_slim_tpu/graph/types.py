@@ -41,13 +41,14 @@ class ChalGraph:
         return self.level.shape[0]
 
     def chal_bytes(self) -> int:
-        """Graph-only byte accounting in the reference's own formula
-        (hnswalg_slim.h indexSize :2435-2443): per node, fixed header
-        [level u32][total u32][label u64][ptr u64] = 24 B + u16 offset per
-        level above 0 + u32 per neighbor id."""
+        """Graph-only byte accounting, EXACTLY the reference's indexSize
+        (hnswalg_slim.h:2435-2443): 16 B per node (nbr ptr 8 + total 4 + 4)
+        + per-node CHAL block (u16 offset per level + u32 per neighbor id).
+        Verified equal to the reference binary's printed size on an imported
+        reference-built graph."""
         total_nbrs = int(np.asarray(self.lvl_off[:, -1] - self.lvl_off[:, 0]).sum())
         levels = np.asarray(self.level)
-        return int(24 * self.n + 2 * int(levels.sum()) + 4 * total_nbrs)
+        return int(16 * self.n + 2 * int(levels.sum()) + 4 * total_nbrs)
 
 
 @jax.tree_util.register_dataclass

@@ -50,7 +50,7 @@ def test_pack_chal_fetch():
     np.testing.assert_array_equal(
         np.asarray(f1(jnp.array([0, 1, 2]))), [[2, -1], [-1, -1], [-1, -1]]
     )
-    assert g.chal_bytes() == 24 * 3 + 2 * 1 + 4 * 6
+    assert g.chal_bytes() == 16 * 3 + 2 * 1 + 4 * 6
 
 
 def test_beam_search_knn_graph_recall():

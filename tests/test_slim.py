@@ -76,7 +76,7 @@ def test_slim_index_size_reduction():
     # reference-accounting vanilla bytes: 24/node + 4/edge (+2/level u16)
     levels = np.asarray(hnsw.graph.level)
     vanilla_edges = sum(int((np.asarray(a) >= 0).sum()) for a in hnsw.graph.adjs)
-    vanilla_bytes = 24 * len(levels) + 2 * int(levels.sum()) + 4 * vanilla_edges
+    vanilla_bytes = 16 * len(levels) + 2 * int(levels.sum()) + 4 * vanilla_edges
     ratio = vanilla_bytes / slim.index_size()
     assert ratio > 1.5, ratio
     assert vanilla_edges / slim.check_integrity()["edges"] > 1.8
