@@ -67,7 +67,7 @@ int main(int argc, char** argv) {
   const std::string mode = argv[4];
   const int M = atoi(argv[5]);
   const int efc = atoi(argv[6]);
-  const int ef = atoi(argv[7]);
+  const std::string ef_list = argv[7];  // comma-separated ef sweep
   const int k = atoi(argv[8]);
 
   int dim = 0, n = 0, qdim = 0, nq = 0;
@@ -97,20 +97,31 @@ int main(int argc, char** argv) {
     slim.convertFromHNSW(&hnsw);
     printf("convert_ms %.1f\n", ms_since(t0));
     printf("slim_index_bytes %zu\n", slim.indexSize());
-    slim.setEf(ef);
     std::vector<unsigned> out(k);
-    t0 = Clock::now();
-    for (int i = 0; i < nq; ++i) {
-      slim.searchKnn(queries.data() + static_cast<size_t>(i) * qdim, k,
-                     out.data());
-      for (int j = 0; j < k; ++j) results[1LL * i * k + j] = out[j];
+    size_t pos = 0;
+    while (pos < ef_list.size()) {
+      size_t comma = ef_list.find(',', pos);
+      if (comma == std::string::npos) comma = ef_list.size();
+      const int ef = atoi(ef_list.substr(pos, comma - pos).c_str());
+      pos = comma + 1;
+      slim.setEf(ef);
+      t0 = Clock::now();
+      for (int i = 0; i < nq; ++i) {
+        slim.searchKnn(queries.data() + static_cast<size_t>(i) * qdim, k,
+                       out.data());
+        for (int j = 0; j < k; ++j) results[1LL * i * k + j] = out[j];
+      }
+      printf("solve_ms_ef%d %.1f\n", ef, ms_since(t0));
+      char path[512];
+      snprintf(path, sizeof path, "%s.ef%d", out_path, ef);
+      write_ivecs(path, results, nq, k);
     }
-    printf("solve_ms %.1f\n", ms_since(t0));
     if (argc > 9 && std::strlen(argv[9]) > 1) {
       dump_slim_graph(slim, argv[9]);
       printf("dumped %s\n", argv[9]);
     }
   } else {
+    const int ef = atoi(ef_list.c_str());
     hnsw.setEf(ef);
     t0 = Clock::now();
     for (int i = 0; i < nq; ++i) {
