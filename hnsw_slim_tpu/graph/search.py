@@ -65,12 +65,18 @@ def make_dense_fetch(adj_l: jnp.ndarray):
 
 
 def make_exact_scorer(vectors, vn, q, qn, metric, precision):
-    """Scorer: exact fused-matmul distances (the Slim path)."""
+    """Scorer: exact fused-matmul distances (the Slim path).
+
+    Neighbor norms are recomputed from the gathered rows (a VPU reduction)
+    rather than gathered from the N-sized norm array — random scalar gathers
+    from HBM cost as much as the row gather itself at large N.
+    """
+    del vn  # kept in the signature for call-site compatibility
 
     def score(safe_ids, valid):
+        vecs = vectors[safe_ids]
         d = distance.gathered_dist(
-            q, vectors[safe_ids], metric, qn=qn, vn=vn[safe_ids],
-            precision=precision,
+            q, vecs, metric, qn=qn, vn=None, precision=precision
         )
         return jnp.where(valid, d, INF)
 
