@@ -67,12 +67,15 @@ def load_ref_slim_graph(path: str) -> ChalGraph:
     )
 
 
-def slim_index_from_ref(graph_path: str, vectors: np.ndarray, metric="l2"):
+def slim_index_from_ref(graph_path: str, vectors: np.ndarray, metric="l2",
+                        store_dtype: str = "float32"):
     from ..index.slim import HnswSlimIndex
     from ..ops import distance
 
     idx = HnswSlimIndex(metric=metric)
     idx.graph = load_ref_slim_graph(graph_path)
     idx.vectors = jnp.asarray(np.asarray(vectors, np.float32))
+    if store_dtype == "bfloat16":
+        idx.vectors = idx.vectors.astype(jnp.bfloat16)
     idx.vn = distance.sq_norms(idx.vectors)
     return idx
