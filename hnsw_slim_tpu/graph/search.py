@@ -223,16 +223,33 @@ def beam_level_scored(
             vsel = jnp.max(jnp.where(onehot, buf_id, -1), axis=1)
             return fetch(jnp.where(vsel >= 0, vsel, 0)), vsel >= 0
 
-        ids_list, ok_list = [], []
+        ids_list = []
         for j in range(e):
             idsj, okj = expand_one(j)
             ids_list.append(jnp.where(okj[:, None], idsj, -1))
         ids = jnp.concatenate(ids_list, axis=1)  # [B, E*W]
 
         valid = (ids >= 0) & ~qdone[:, None]
-        safe = jnp.maximum(ids, 0)
         dup = jnp.any(ids[:, :, None] == buf_id[:, None, :], axis=2)
-        cand = valid & ~dup
+        cand_ids = jnp.where(valid & ~dup, ids, jnp.int32(2**30))
+
+        # compact before the gather: slim rows average ~a quarter of the
+        # padded width, and vector-row gathers are HBM-transaction-bound —
+        # sorting the candidate ids packs the valid ones first (and makes
+        # cross-expansion duplicates adjacent for free)
+        ew = ids.shape[1]
+        cw = min(ew, max(2 * ef, 128)) if e > 1 else ew
+        cand_sorted = lax.sort(cand_ids, dimension=1)
+        if e > 1:
+            dup2 = jnp.concatenate(
+                [jnp.zeros((b, 1), bool),
+                 cand_sorted[:, 1:] == cand_sorted[:, :-1]],
+                axis=1,
+            )
+            cand_sorted = jnp.where(dup2, jnp.int32(2**30), cand_sorted)
+        cand_sorted = cand_sorted[:, :cw]
+        cand = cand_sorted < 2**30
+        safe = jnp.where(cand, cand_sorted, 0)
 
         d = score(safe, cand)
 
@@ -243,24 +260,11 @@ def beam_level_scored(
 
         # merge via one multi-operand sort (payload gathers are slow on TPU)
         cat_d = jnp.concatenate([buf_d, d], axis=1)
-        cat_i = jnp.concatenate([buf_id, jnp.where(cand, ids, -1)], axis=1)
-        cat_c = jnp.concatenate([buf_chk, jnp.zeros_like(ids)], axis=1)
+        cat_i = jnp.concatenate([buf_id, jnp.where(cand, cand_sorted, -1)], axis=1)
+        cat_c = jnp.concatenate([buf_chk, jnp.zeros_like(cand_sorted)], axis=1)
         sd, si, sc = lax.sort((cat_d, cat_i, cat_c), dimension=1, num_keys=1)
-        sd, si, sc = sd[:, :ef], si[:, :ef], sc[:, :ef]
 
-        if e > 1:
-            # two expanded nodes can share a neighbor: duplicates carry
-            # identical distances, so they land adjacent — invalidate and
-            # re-sort to push holes to the end
-            dup2 = jnp.concatenate(
-                [jnp.zeros((b, 1), bool), (si[:, 1:] == si[:, :-1]) & (si[:, 1:] >= 0)],
-                axis=1,
-            )
-            sd = jnp.where(dup2, INF, sd)
-            si = jnp.where(dup2, -1, si)
-            sd, si, sc = lax.sort((sd, si, sc), dimension=1, num_keys=1)
-
-        new_st = BeamState(sd, si, sc)
+        new_st = BeamState(sd[:, :ef], si[:, :ef], sc[:, :ef])
         return new_st, qdone, iters + 1, hops, dcomp
 
     zero = jnp.zeros((b,), jnp.int32)
