@@ -142,6 +142,9 @@ def main():
     # TPU serves the reference-built graph (identical index)
     if ref and os.path.exists(gpath):
         idx = slim_index_from_ref(gpath, base)
+        if os.environ.get("BENCH_DENSE0", "1") == "1":
+            extra = idx.densify_level0()
+            log(f"dense level-0 serving layout (+{extra/1e6:.0f} MB HBM)")
         log(f"serving reference-built graph ({idx.index_size()} bytes)")
     else:
         from hnsw_slim_tpu.config import HnswConfig, SlimConfig

@@ -352,6 +352,7 @@ def chal_search(
     precision,
     pop_width: int = 1,
     ef_eff: jnp.ndarray | None = None,
+    dense0: jnp.ndarray | None = None,
 ):
     """Full Slim query path (hnswalg_slim.h searchKnn :2030-2131):
     greedy descent for levels max_level..threshold_level+1, beam search for
@@ -376,7 +377,12 @@ def chal_search(
     hops = jnp.zeros((b,), jnp.int32)
     dcomp = jnp.zeros((b,), jnp.int32)
     for l in range(min(threshold_level, max_level), -1, -1):
-        fetch = make_chal_fetch(graph_nbr, graph_lvl_off, l, cap if l > 0 else cap0)
+        if l == 0 and dense0 is not None:
+            # dense serving layout: one 240-byte row transaction per pop
+            # instead of W scalar gathers from the flat CHAL array
+            fetch = make_dense_fetch(dense0)
+        else:
+            fetch = make_chal_fetch(graph_nbr, graph_lvl_off, l, cap if l > 0 else cap0)
         state, h, dc = beam_level(
             fetch, vectors, vn, q, qn, state, always, ef, max_iters, metric,
             precision, pop_width, ef_eff,

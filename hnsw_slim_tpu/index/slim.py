@@ -31,7 +31,7 @@ from .hnsw import HnswIndex
 )
 def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
                      threshold_level, cap0, cap, ef, k, max_iters,
-                     metric, pop_width=1):
+                     metric, pop_width=1, dense0=None):
     return gs.chal_search(
         nbr, lvl_off, entry, vectors, vn, q,
         max_level=max_level, threshold_level=threshold_level,
@@ -39,6 +39,7 @@ def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
         metric=metric,
         precision=jax.lax.Precision.HIGHEST,
         pop_width=pop_width,
+        dense0=dense0,
     )
 
 
@@ -85,6 +86,20 @@ class HnswSlimIndex:
         self.graph: ChalGraph | None = None
         self.vectors = None
         self.vn = None
+        self.dense0 = None  # optional dense level-0 serving layout
+
+    def densify_level0(self) -> int:
+        """Explode the level-0 CHAL slices into a dense [N, cap0] row array.
+        Serving from dense rows turns the per-hop neighbor fetch into one
+        row transaction (+~25%% QPS at 1M) at the cost of cap0*4 bytes/node
+        of extra HBM (the CHAL arrays remain the persisted format)."""
+        import numpy as np
+
+        from ..persist.patch import _level_rows, to_np
+
+        rows = _level_rows(to_np(self.graph), 0, self.graph.n, self.graph.cap0)
+        self.dense0 = jnp.asarray(rows.astype(np.int32))
+        return int(self.dense0.nbytes)
 
     @classmethod
     def from_hnsw(
@@ -157,6 +172,7 @@ class HnswSlimIndex:
             k=ef if filter_mask is not None else k,
             max_iters=self.scfg.iters(),
             metric=self.metric, pop_width=self.scfg.pop_width,
+            dense0=self.dense0,
         )
         # metric_hops / metric_distance_computations (hnswalg_slim.h:70-71)
         self.last_stats = {
