@@ -152,3 +152,14 @@ def test_filtered_search():
     # unfiltered results include even ids
     _, ids2 = slim.search(queries, k=10)
     assert (ids2[ids2 >= 0] % 2 == 0).any()
+
+
+def test_densify_level0_same_results():
+    base, queries, hnsw = _build_pair(n=2000, nq=20)
+    slim = HnswSlimIndex.from_hnsw(hnsw, SlimConfig.from_ratios())
+    slim.set_ef(64)
+    _, chal_ids = slim.search(queries, k=10)
+    extra = slim.densify_level0()
+    assert extra == 2000 * slim.graph.cap0 * 4
+    _, dense_ids = slim.search(queries, k=10)
+    np.testing.assert_array_equal(dense_ids, chal_ids)
