@@ -90,6 +90,26 @@ class ShardedSlimIndex:
         self._stack(shard_graphs, dim, slim_cfg)
         return self
 
+    @classmethod
+    def from_indexes(cls, mesh: Mesh, shard_indexes, metric: str = "l2",
+                     search_cfg: SearchConfig | None = None):
+        """Assemble from pre-built per-shard slim indexes.
+
+        shard_indexes: list of (HnswSlimIndex, global_ids i32[n_per]) — one
+        per mesh shard, all with equal node counts (pad the last shard's
+        vectors and set its padding gids to -1). This is the 100M recipe:
+        shards build independently (reference-binary CPU builds or NND) and
+        the mesh serves them with the all_gather top-k merge.
+        """
+        import numpy as np
+
+        s = mesh.shape["shard"]
+        assert len(shard_indexes) == s, (len(shard_indexes), s)
+        idx = cls(mesh, metric=metric, search_cfg=search_cfg)
+        dim = int(np.asarray(shard_indexes[0][0].vectors).shape[1])
+        idx._stack(shard_indexes, dim, None)
+        return idx
+
     def _stack(self, shard_graphs, dim, slim_cfg):
         s = len(shard_graphs)
         lmax = max(g.graph.max_level for g, _ in shard_graphs)

@@ -65,3 +65,31 @@ def test_sharded_save_load_and_size(tmp_path):
     loaded = ShardedSlimIndex.load(p, mesh, search_cfg=SearchConfig(ef=32))
     d3, i3 = loaded.search(queries, k=5)
     np.testing.assert_array_equal(i3, i1)
+
+
+def test_sharded_from_prebuilt_indexes():
+    # the 100M recipe: shards built independently, mesh-served together
+    from hnsw_slim_tpu.config import SlimConfig
+    from hnsw_slim_tpu.index.slim import HnswSlimIndex
+
+    mesh = make_mesh(8, dp=2)
+    s = mesh.shape["shard"]
+    base, queries = clustered(n=1600, dim=16, n_queries=10, seed=44)
+    shard_indexes = []
+    for si in range(s):
+        gids = np.arange(si, 1600, s, dtype=np.int32)
+        idx = HnswSlimIndex.build(
+            base[gids], HnswConfig(M=8, ef_construction=32),
+            SlimConfig.from_ratios(),
+        )
+        shard_indexes.append((idx, gids))
+    from hnsw_slim_tpu.config import SearchConfig
+
+    sharded = ShardedSlimIndex.from_indexes(
+        mesh, shard_indexes, search_cfg=SearchConfig(ef=32)
+    )
+    bf = BruteForceIndex(base, chunk=1024)
+    _, gt = bf.search(queries, k=5)
+    _, ids = sharded.search(queries, k=5)
+    hits = sum(len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt))
+    assert hits / gt.size >= 0.9
