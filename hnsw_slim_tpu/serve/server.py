@@ -221,7 +221,12 @@ class SlimServer:
                         vecs = np.asarray(
                             [list(v.vector) for v in req.vectors], np.float32
                         )
-                        writer = server.update_index(vecs)
+                        ids = [v.id for v in req.vectors]
+                        # proto3 default id=0 for every entry means the
+                        # client did not set ids: let the server assign
+                        if all(i == 0 for i in ids):
+                            ids = None
+                        writer = server.update_index(vecs, new_labels=ids)
                         blob, finished = writer.next_chunk(
                             server.patch_chunk_bytes
                         )

@@ -147,3 +147,20 @@ def test_concurrent_queries_batched(served):
     with ThreadPoolExecutor(max_workers=10) as ex:
         hits = sum(ex.map(one, range(len(queries))))
     assert hits / gt.size >= 0.8
+
+
+def test_update_index_respects_client_labels():
+    base, _ = clustered(n=1300, dim=16, n_queries=0, seed=54)
+    server = SlimServer(
+        base[:1200], hnsw_cfg=HnswConfig(M=12, ef_construction=64), port=18483
+    )
+    server.start_background()
+    try:
+        client = SlimClient(port=18483)
+        client.mark_delete([3, 4])
+        client.update_index(range(9000, 9100), base[1200:1300])
+        _, labels = client.query(base[1250], k=3)
+        assert 9050 in labels.tolist()
+        assert (server.labels[[3, 4]] >= 9000).all()  # reused slots relabeled
+    finally:
+        server.shutdown()
