@@ -170,12 +170,19 @@ def beam_level_scored(
     max_iters: int,
     pop_width: int = 1,
     ef_eff: jnp.ndarray | None = None,
+    pop_state=None,
+    pop_hook: Callable | None = None,
 ) -> BeamState:
     """Best-first beam search at one level with a pluggable scorer.
 
     Equivalent of searchBaseLayerST (hnswalg_slim.h:320-457): pop the best
     unchecked entries, expand neighbors, merge into top-ef, stop when the
     best unchecked candidate exceeds the worst buffered distance.
+
+    pop_hook(pop_state, popped_ids i32[B, E], popped_mask bool[B, E]) is
+    invoked on each iteration's popped nodes — SlimQ uses it to keep an
+    exact-distance result track like the reference's per-pop rerank
+    (hnswalg_slimq.h:747-757).
 
     pop_width > 1 expands the E best unchecked entries per iteration
     (DiskANN-style beamwidth): fewer, fatter device steps; recall at equal
@@ -190,11 +197,11 @@ def beam_level_scored(
     e = pop_width
 
     def cond(carry):
-        _, done, iters, _, _ = carry
+        _, done, iters, _, _, _ = carry
         return jnp.any(~done) & (iters < max_iters)
 
     def body(carry):
-        st, done, iters, hops, dcomp = carry
+        st, done, iters, hops, dcomp, pstate = carry
         buf_d, buf_id, buf_chk = st
         unchk = (buf_chk == 0) & (buf_id >= 0)
         if ef_eff is not None:
@@ -218,15 +225,20 @@ def beam_level_scored(
         )
         buf_chk = jnp.where(selmask, 1, buf_chk)
 
-        def expand_one(j):
+        def popped(j):
             onehot = selmask & (rank == j)
             vsel = jnp.max(jnp.where(onehot, buf_id, -1), axis=1)
-            return fetch(jnp.where(vsel >= 0, vsel, 0)), vsel >= 0
+            return vsel
+
+        pops = jnp.stack([popped(j) for j in range(e)], axis=1)  # [B, E]
+        if pop_hook is not None:
+            pstate = pop_hook(pstate, pops, pops >= 0)
 
         ids_list = []
         for j in range(e):
-            idsj, okj = expand_one(j)
-            ids_list.append(jnp.where(okj[:, None], idsj, -1))
+            vsel = pops[:, j]
+            idsj = fetch(jnp.where(vsel >= 0, vsel, 0))
+            ids_list.append(jnp.where(vsel[:, None] >= 0, idsj, -1))
         ids = jnp.concatenate(ids_list, axis=1)  # [B, E*W]
 
         valid = (ids >= 0) & ~qdone[:, None]
@@ -265,13 +277,13 @@ def beam_level_scored(
         sd, si, sc = lax.sort((cat_d, cat_i, cat_c), dimension=1, num_keys=1)
 
         new_st = BeamState(sd[:, :ef], si[:, :ef], sc[:, :ef])
-        return new_st, qdone, iters + 1, hops, dcomp
+        return new_st, qdone, iters + 1, hops, dcomp, pstate
 
     zero = jnp.zeros((b,), jnp.int32)
-    out, _, _, hops, dcomp = lax.while_loop(
-        cond, body, (state, ~active, jnp.int32(0), zero, zero)
+    out, _, _, hops, dcomp, pop_state = lax.while_loop(
+        cond, body, (state, ~active, jnp.int32(0), zero, zero, pop_state)
     )
-    return out, hops, dcomp
+    return out, hops, dcomp, pop_state
 
 
 def beam_level(
@@ -291,8 +303,10 @@ def beam_level(
 ) -> BeamState:
     """Beam search with exact distances (the Slim/HNSW path)."""
     score = make_exact_scorer(vectors, vn, q, qn, metric, precision)
-    return beam_level_scored(fetch, score, state, active, ef, max_iters,
-                             pop_width, ef_eff)
+    st, hops, dcomp, _ = beam_level_scored(
+        fetch, score, state, active, ef, max_iters, pop_width, ef_eff
+    )
+    return st, hops, dcomp
 
 
 def level_search(

@@ -39,16 +39,18 @@ from .hnsw import HnswIndex
     jax.jit,
     static_argnames=(
         "max_level", "threshold_level", "cap0", "cap", "ef", "k",
-        "max_iters", "metric", "use_ex",
+        "max_iters", "metric", "use_ex", "pop_width",
     ),
 )
 def _slimq_search_jit(
     nbr, lvl_off, entry, q_rot, bin_code, ex_planes, f_add, f_rescale,
-    f_add_ex, f_rescale_ex, cluster_ids, centroids_rot, *,
+    f_add_ex, f_rescale_ex, cluster_ids, centroids_rot, dataset, q_raw, *,
     max_level, threshold_level, cap0, cap, ef, k, max_iters, metric, use_ex,
+    pop_width=1,
 ):
     b = q_rot.shape[0]
     sumq = jnp.sum(q_rot, axis=1)
+    qn_raw = jnp.sum(q_raw.astype(jnp.float32) ** 2, axis=1) if q_raw is not None else None
     g_add_tab, _ = est.centroid_g_tables(q_rot, centroids_rot, metric)
 
     def score(safe_ids, valid):
@@ -74,15 +76,49 @@ def _slimq_search_jit(
         fetch = gs.make_chal_fetch(nbr, lvl_off, l, cap if l > 0 else cap0)
         cur, curdist = gs.greedy_level_scored(fetch, score, cur, curdist, always)
 
+    # exact-distance result track over POPPED nodes (the reference reranks
+    # each popped node against the raw dataset during traversal,
+    # hnswalg_slimq.h:747-757); dataset==None falls back to estimate-only
+    if dataset is not None:
+        kk = max(k, 16)
+        res0 = (jnp.full((b, kk), jnp.inf), jnp.full((b, kk), -1, jnp.int32))
+        dn = jnp.sum(dataset.astype(jnp.float32) ** 2, axis=1) if metric == "l2" else None
+
+        def pop_hook(res, pops, ok):
+            rd, ri = res
+            safe = jnp.maximum(pops, 0)
+            vecs = dataset[safe].astype(jnp.float32)
+            if metric == "ip":
+                ed = 1.0 - jnp.einsum("bd,bed->be", q_raw, vecs,
+                                      preferred_element_type=jnp.float32)
+            else:
+                ed = (qn_raw[:, None] + jnp.sum(vecs * vecs, -1)
+                      - 2.0 * jnp.einsum("bd,bed->be", q_raw, vecs,
+                                         preferred_element_type=jnp.float32))
+            dup = jnp.any(pops[:, :, None] == ri[:, None, :], axis=2)
+            ed = jnp.where(ok & ~dup, ed, jnp.inf)
+            cd = jnp.concatenate([rd, ed], axis=1)
+            ci = jnp.concatenate([ri, jnp.where(ok & ~dup, pops, -1)], axis=1)
+            sd, si = jax.lax.sort((cd, ci), dimension=1, num_keys=1)
+            return sd[:, :kk], si[:, :kk]
+    else:
+        res0, pop_hook = None, None
+
     state = gs.beam_init(cur, curdist, ef)
+    res = res0
     for l in range(min(threshold_level, max_level), -1, -1):
         fetch = gs.make_chal_fetch(nbr, lvl_off, l, cap if l > 0 else cap0)
-        state, _, _ = gs.beam_level_scored(fetch, score, state, always, ef, max_iters)
+        state, _, _, res = gs.beam_level_scored(
+            fetch, score, state, always, ef, max_iters,
+            pop_width=pop_width, pop_state=res, pop_hook=pop_hook,
+        )
         if l > 0:
             state = gs.BeamState(
                 state.buf_d, state.buf_id, jnp.zeros_like(state.buf_chk)
             )
-    return state.buf_d, state.buf_id  # full est-ranked top-ef for rerank
+    if dataset is not None:
+        return res[0], res[1]  # exact-distance top results over popped nodes
+    return state.buf_d, state.buf_id  # est-ranked top-ef for host rerank
 
 
 class HnswSlimQIndex:
@@ -98,6 +134,7 @@ class HnswSlimQIndex:
         self.cluster_ids = None  # i32[N]
         self.centroids_rot = None  # f32[C, P]
         self.dataset = None  # external raw vectors for rerank
+        self._dataset_dev = None
         self.use_ex = False
 
     @classmethod
@@ -143,6 +180,7 @@ class HnswSlimQIndex:
     def set_dataset(self, vectors: np.ndarray) -> None:
         """External raw vectors for exact rerank (hnsw_slimq_strategy.h:145)."""
         self.dataset = np.asarray(vectors, np.float32)
+        self._dataset_dev = None
 
     def set_ef(self, ef: int) -> None:
         self.scfg = SearchConfig(ef=ef, max_iters=self.scfg.max_iters)
@@ -152,37 +190,23 @@ class HnswSlimQIndex:
         c = self.codes
         ef = max(self.scfg.ef, k)
         q_rot = self.rotator.rotate(queries)
+        use_track = rerank and self.dataset is not None
+        if self._dataset_dev is None and use_track:
+            self._dataset_dev = jnp.asarray(self.dataset)
         d, ids = _slimq_search_jit(
             g.nbr, g.lvl_off, g.entry, q_rot,
             c.bin_code, c.ex_planes, c.f_add, c.f_rescale,
             c.f_add_ex, c.f_rescale_ex,
             self.cluster_ids,
             self.centroids_rot,
+            self._dataset_dev if use_track else None,
+            jnp.asarray(np.asarray(queries, np.float32)) if use_track else None,
             max_level=g.max_level, threshold_level=g.threshold_level,
             cap0=g.cap0, cap=g.cap, ef=ef, k=k,
             max_iters=self.scfg.iters(), metric=self.metric,
-            use_ex=self.use_ex,
+            use_ex=self.use_ex, pop_width=self.scfg.pop_width,
         )
-        d = np.asarray(d)
-        ids = np.asarray(ids)
-        if not rerank or self.dataset is None:
-            return d[:, :k], ids[:, :k]
-        # exact rerank of the est-ranked top-ef (org_fstdistfunc_,
-        # hnswalg_slimq.h:747-757)
-        q = np.asarray(queries, np.float32)
-        safe = np.maximum(ids, 0)
-        cand = self.dataset[safe]  # [B, ef, d]
-        if self.metric == "ip":
-            exact = 1.0 - np.einsum("bd,bwd->bw", q, cand)
-        else:
-            diff = cand - q[:, None, :]
-            exact = np.einsum("bwd,bwd->bw", diff, diff)
-        exact = np.where(ids >= 0, exact, np.inf)
-        order = np.argsort(exact, axis=1)[:, :k]
-        return (
-            np.take_along_axis(exact, order, axis=1),
-            np.take_along_axis(ids, order, axis=1),
-        )
+        return np.asarray(d)[:, :k], np.asarray(ids)[:, :k]
 
     def index_size(self) -> int:
         """Graph + quantized payload bytes (no raw vectors) —
