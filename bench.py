@@ -1,19 +1,26 @@
 """Benchmark entry point (driver-run, real TPU).
 
-Measures batched-search QPS at the smallest ef reaching recall@10 >= 0.95 on
-a synthetic clustered dataset (SIFT-like: 128-d), against TWO baselines:
+Headline metric (BASELINE.md north star, reference Table 5): batched-search
+QPS at the smallest ef reaching recall@10 >= 0.95 on a synthetic clustered
+dataset (SIFT-like: 1M x 128-d), TPU engine vs the LIVE reference C++ engine:
 
-1. A LIVE reference baseline: parity/ref_harness compiles the unmodified
-   reference C++ engine and runs the same sweep on the same data on this
-   machine's CPU. The served graph is the reference's own exported slim
-   graph, so the comparison isolates pure search-engine throughput on an
-   identical index. vs_baseline = tpu_qps / reference_cpu_qps.
-2. If the harness cannot build, falls back to the paper-interpolated
-   constant (Table 5 client, ~4450 QPS @ 95% on SIFT-6M).
+* parity/ref_harness compiles the unmodified reference headers and runs the
+  same ef sweep on the same data on this machine's CPU, using EVERY core the
+  host has (this box exposes a single core — recorded as baseline_threads so
+  the comparison is auditable; the reference paper's 24-core serving numbers
+  are in BASELINE.md Table 5 for context).
+* The TPU serves the reference's own exported slim graph, so the ratio
+  isolates pure search-engine throughput on an identical index.
+* vs_baseline = tpu_qps@0.95 / reference_cpu_qps@0.95.
+
+Secondary fields keep the round-1 matched-ef64 comparison (same graph + same
+ef = provably identical traversal frontier) and the engine's effort counters
+(hops / distance computations / bytes gathered) so perf progress is
+attributable.
 
 Compile-latency mitigations (this environment's remote compiler can stall
-minutes-to-hours on cold programs): persistent XLA cache in .jax_cache/,
-reference-built graph cached in .bench_cache/.
+minutes on cold programs): persistent XLA cache in .jax_cache/, reference
+graph + sweep results cached in .bench_cache/.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -27,9 +34,14 @@ import time
 N = int(os.environ.get("BENCH_N", 1_000_000))
 DIM = int(os.environ.get("BENCH_DIM", 128))
 NQ = int(os.environ.get("BENCH_NQ", 1024))
-PAPER_BASELINE_QPS = 4450.0
+PAPER_BASELINE_QPS = 4450.0  # Table 5 client interp @95% (BASELINE.md)
 REPO = os.path.dirname(os.path.abspath(__file__))
-EFS = [32, 48, 64, 96, 128, 192]
+EFS = [32, 48, 64, 96, 128, 192, 256, 384, 512]
+TARGET = float(os.environ.get("BENCH_TARGET_RECALL", 0.95))
+try:
+    HOST_CORES = len(os.sched_getaffinity(0))
+except AttributeError:
+    HOST_CORES = os.cpu_count() or 1
 
 
 def log(msg):
@@ -45,10 +57,18 @@ def recall(ids, gt):
 def build_harness():
     r = subprocess.run(
         ["make", "-C", os.path.join(REPO, "parity")], capture_output=True,
-        timeout=300,
+        timeout=900,
     )
     binary = os.path.join(REPO, "parity", "ref_harness")
     return binary if r.returncode == 0 and os.path.exists(binary) else None
+
+
+def pick_point(points, target):
+    """Smallest-ef point with recall >= target, else the highest-recall one."""
+    hit = [p for p in points if p["recall"] >= target]
+    if hit:
+        return min(hit, key=lambda p: p["ef"]), True
+    return (max(points, key=lambda p: p["recall"]), False) if points else (None, False)
 
 
 def main():
@@ -64,14 +84,15 @@ def main():
     from hnsw_slim_tpu.utils.data import clustered
     from hnsw_slim_tpu.utils.io import read_ivecs, write_fvecs
 
-    log(f"backend={jax.default_backend()} n={N} dim={DIM} nq={NQ}")
+    log(f"backend={jax.default_backend()} n={N} dim={DIM} nq={NQ} "
+        f"host_cores={HOST_CORES}")
     base, queries = clustered(
         N, DIM, n_queries=NQ, n_clusters=max(64, N // 1000), seed=7
     )
 
     cdir = os.path.join(REPO, ".bench_cache")
     os.makedirs(cdir, exist_ok=True)
-    tag = f"ref_{N}_{DIM}_{NQ}_v2"
+    tag = f"ref_{N}_{DIM}_{NQ}_v3"
     gpath = os.path.join(cdir, tag + ".slimgraph")
     spath = os.path.join(cdir, tag + ".json")
 
@@ -85,8 +106,8 @@ def main():
         write_fvecs(qp, queries)
         out = subprocess.run(
             [harness, bp, qp, rp, "slim", "30", "128",
-             ",".join(map(str, EFS)), "10", gpath],
-            capture_output=True, text=True, timeout=1800,
+             ",".join(map(str, EFS)), "10", str(HOST_CORES), gpath],
+            capture_output=True, text=True, timeout=7200,
         )
         if out.returncode == 0:
             stats = dict(
@@ -97,6 +118,7 @@ def main():
                 "build_ms": float(stats["build_ms"]),
                 "convert_ms": float(stats["convert_ms"]),
                 "index_bytes": int(stats["slim_index_bytes"]),
+                "threads": HOST_CORES,
                 "solve_ms": {
                     e: float(stats[f"solve_ms_ef{e}"]) for e in EFS
                     if f"solve_ms_ef{e}" in stats
@@ -106,6 +128,9 @@ def main():
             json.dump(ref, open(spath, "w"))
         else:
             log(f"reference harness failed: {out.stderr[-200:]}")
+        for p in (bp, qp):  # the 512MB fvecs are regenerable; don't hoard
+            if os.path.exists(p) and N >= 500_000:
+                os.remove(p)
     elif os.path.exists(spath):
         ref = json.load(open(spath))
         ref["solve_ms"] = {int(k): v for k, v in ref["solve_ms"].items()}
@@ -114,30 +139,17 @@ def main():
     bf = BruteForceIndex(base)
     _, gt = bf.search(queries, k=10)
 
-    # reference operating point. Small N: smallest ef with recall >= 0.95.
-    # Large N (>= 500k): matched-ef comparison at ef=64 — same graph + same
-    # ef means provably identical traversal frontiers, so the ratio isolates
-    # engine throughput.
-    matched_ef = N >= 500_000
-    target = 0.0 if matched_ef else 0.95
-    ref_point = None
-    if ref:
-        for e in EFS:
-            if e not in ref.get("solve_ms", {}):
-                continue
-            try:
-                ids = read_ivecs(ref["result_files"][e])
-            except FileNotFoundError:
-                continue
-            r = recall(ids, gt)
-            q = NQ / (ref["solve_ms"][e] / 1e3)
-            log(f"reference ef={e}: recall={r:.4f} qps={q:.0f} (1-core CPU)")
-            if matched_ef and e == 64:
-                ref_point = {"ef": e, "recall": r, "qps": q}
-                break
-            if not matched_ef and r >= target:
-                ref_point = {"ef": e, "recall": r, "qps": q}
-                break
+    ref_points = []
+    for e in sorted(ref.get("solve_ms", {})):
+        try:
+            ids = read_ivecs(ref["result_files"][e])
+        except FileNotFoundError:
+            continue
+        r = recall(ids, gt)
+        q = NQ / (ref["solve_ms"][e] / 1e3)
+        log(f"reference ef={e}: recall={r:.4f} qps={q:.0f} "
+            f"({ref.get('threads', 1)}-thread CPU)")
+        ref_points.append({"ef": e, "recall": r, "qps": q})
 
     # TPU serves the reference-built graph (identical index)
     if ref and os.path.exists(gpath):
@@ -157,33 +169,55 @@ def main():
         idx = HnswSlimIndex.from_hnsw(h, SlimConfig.from_ratios())
         log(f"nnd build {time.perf_counter() - t0:.1f}s")
 
-    best = None
-    sweep = [64] if matched_ef else EFS
-    for ef in sweep:
+    tpu_points = []
+    stats_at = {}
+    for ef in EFS:
         idx.set_ef(ef)
         _, ids = idx.search(queries, k=10)  # compile + warm
         dt = min(_timed(idx.search, queries) for _ in range(3))
         r = recall(ids, gt)
         qps = NQ / dt
-        log(f"tpu ef={ef}: recall={r:.4f} qps={qps:.0f}")
-        best = {"ef": ef, "recall": r, "qps": qps}
-        if not matched_ef and r >= 0.95:
+        log(f"tpu ef={ef}: recall={r:.4f} qps={qps:.0f} "
+            f"hops={idx.last_stats['hops']} dcomp={idx.last_stats['distance_computations']}")
+        tpu_points.append({"ef": ef, "recall": r, "qps": qps})
+        stats_at[ef] = dict(idx.last_stats)
+        if r >= TARGET:
             break
 
-    baseline_qps = ref_point["qps"] if ref_point else PAPER_BASELINE_QPS
+    best, tpu_hit = pick_point(tpu_points, TARGET)
+    ref_best, ref_hit = pick_point(ref_points, TARGET)
+    ef64 = next((p for p in tpu_points if p["ef"] == 64), None)
+    ref64 = next((p for p in ref_points if p["ef"] == 64), None)
+
+    baseline_qps = ref_best["qps"] if ref_best else PAPER_BASELINE_QPS
+    st = stats_at.get(best["ef"], {})
     out = {
-        "metric": (
-            f"qps@ef64_same_graph_synth{N//1000}k_d{DIM}" if matched_ef
-            else f"qps@recall0.95_synth{N//1000}k_d{DIM}"
-        ),
+        "metric": f"qps@recall{TARGET}_synth{N//1000}k_d{DIM}",
         "value": round(best["qps"], 1),
         "unit": "qps",
         "vs_baseline": round(best["qps"] / baseline_qps, 3),
-        "baseline": "reference-c++-1core-same-data" if ref_point
-        else "paper-table5-interpolated",
+        "baseline": (
+            f"reference-c++-{ref.get('threads', 1)}core-same-graph"
+            if ref_best else "paper-table5-interpolated"
+        ),
         "baseline_qps": round(baseline_qps, 1),
+        "baseline_threads": ref.get("threads", None),
+        "host_cpu_cores": HOST_CORES,
         "recall": round(best["recall"], 4),
+        "recall_target_reached": bool(tpu_hit),
+        "baseline_recall": round(ref_best["recall"], 4) if ref_best else None,
+        "baseline_recall_target_reached": bool(ref_hit),
         "ef": best["ef"],
+        "matched_ef64_qps": round(ef64["qps"], 1) if ef64 else None,
+        "matched_ef64_recall": round(ef64["recall"], 4) if ef64 else None,
+        "matched_ef64_vs_baseline": (
+            round(ef64["qps"] / ref64["qps"], 3) if ef64 and ref64 else None
+        ),
+        "hops": st.get("hops"),
+        "distance_computations": st.get("distance_computations"),
+        "bytes_gathered": (
+            st.get("distance_computations", 0) * DIM * 4 or None
+        ),
         "ref_build_ms": ref.get("build_ms"),
         "index_bytes": int(idx.index_size()),
         "n": N,

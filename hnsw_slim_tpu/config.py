@@ -124,6 +124,10 @@ class SearchConfig:
     # at the cost of always paying the ef_max sort width.
     dynamic_ef: bool = False
     ef_max: int = 256
+    # SlimQ only: traverse on (1 + ex_bits)-bit estimates instead of 1-bit
+    # (reference searchBaseLayerST<use_ex>, hnswalg_slimq.h:688-761) — tighter
+    # estimates, more bytes gathered per hop.
+    use_ex: bool = False
 
     def iters(self) -> int:
         if self.max_iters > 0:

@@ -161,6 +161,24 @@ def beam_reseed(state: BeamState, seed_id: jnp.ndarray, seed_d: jnp.ndarray, act
     )
 
 
+class FilterTrack(NamedTuple):
+    """Allowed-only result buffer for filtered search (BaseFilterFunctor
+    semantics, hnswlib.h:124-133 via hnswalg.h searchBaseLayerST's
+    non-bare-bone path): disallowed nodes are traversed but never returned,
+    and the termination bound comes from this buffer — so the search keeps
+    expanding until ef ALLOWED results are found (k-guarantee under heavy
+    filtering, unlike post-hoc masking of the traversal buffer)."""
+
+    res_d: jnp.ndarray  # f32[B, EF] sorted ascending, inf padded
+    res_id: jnp.ndarray  # i32[B, EF], -1 padded
+
+
+def filter_track_init(b: int, ef: int) -> FilterTrack:
+    return FilterTrack(
+        jnp.full((b, ef), INF), jnp.full((b, ef), -1, jnp.int32)
+    )
+
+
 def beam_level_scored(
     fetch: Callable,
     score: Callable,
@@ -172,6 +190,8 @@ def beam_level_scored(
     ef_eff: jnp.ndarray | None = None,
     pop_state=None,
     pop_hook: Callable | None = None,
+    allowed: jnp.ndarray | None = None,
+    ftrack: FilterTrack | None = None,
 ) -> BeamState:
     """Best-first beam search at one level with a pluggable scorer.
 
@@ -191,17 +211,23 @@ def beam_level_scored(
     ef_eff (traced scalar, <= ef) restricts the working buffer to its first
     ef_eff slots: one compiled program serves any runtime ef (the reference's
     free setEf, hnswalg_slim.h:346-349), trading sort width for compile reuse.
+
+    allowed (bool[N]) + ftrack enable filtered search: scored candidates
+    where allowed[id] merge into ftrack, and the termination bound switches
+    to ftrack's worst (reference lowerBound over allowed-only top_candidates,
+    hnswalg.h searchBaseLayerST). Returns (state, hops, dcomp, pop_state,
+    ftrack) — 5-tuple — when filtering.
     """
     b = active.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, ef), 1)
     e = pop_width
 
     def cond(carry):
-        _, done, iters, _, _, _ = carry
+        _, done, iters, _, _, _, _ = carry
         return jnp.any(~done) & (iters < max_iters)
 
     def body(carry):
-        st, done, iters, hops, dcomp, pstate = carry
+        st, done, iters, hops, dcomp, pstate, ftr = carry
         buf_d, buf_id, buf_chk = st
         unchk = (buf_chk == 0) & (buf_id >= 0)
         if ef_eff is not None:
@@ -211,6 +237,17 @@ def beam_level_scored(
             )[:, 0]
         else:
             bound = buf_d[:, ef - 1]  # inf while not full
+        if ftr is not None:
+            # allowed-only lowerBound: keep searching until ef allowed
+            # results exist, then stop as usual (hnswalg.h non-bare-bone)
+            if ef_eff is not None:
+                fbound = jnp.take_along_axis(
+                    ftr.res_d, jnp.broadcast_to(ef_eff - 1, (b,))[:, None],
+                    axis=1,
+                )[:, 0]
+            else:
+                fbound = ftr.res_d[:, ef - 1]
+            bound = fbound
         # rank among unchecked; buffer is sorted so rank orders by distance
         rank = jnp.cumsum(unchk.astype(jnp.int32), axis=1) - 1
         # termination judged on the single best unchecked (reference rule)
@@ -270,6 +307,21 @@ def beam_level_scored(
         hops = hops + jnp.sum(selmask.astype(jnp.int32), axis=1)
         dcomp = dcomp + jnp.sum(cand.astype(jnp.int32), axis=1)
 
+        if ftr is not None:
+            ok = cand & allowed[safe]
+            # dedup against the track (a node can be scored twice: once as a
+            # neighbor of two different pops across iterations)
+            fdup = jnp.any(
+                cand_sorted[:, :, None] == ftr.res_id[:, None, :], axis=2
+            )
+            fd = jnp.where(ok & ~fdup, d, INF)
+            fc_d = jnp.concatenate([ftr.res_d, fd], axis=1)
+            fc_i = jnp.concatenate(
+                [ftr.res_id, jnp.where(ok & ~fdup, cand_sorted, -1)], axis=1
+            )
+            rd, ri = lax.sort((fc_d, fc_i), dimension=1, num_keys=1)
+            ftr = FilterTrack(rd[:, :ef], ri[:, :ef])
+
         # merge via one multi-operand sort (payload gathers are slow on TPU)
         cat_d = jnp.concatenate([buf_d, d], axis=1)
         cat_i = jnp.concatenate([buf_id, jnp.where(cand, cand_sorted, -1)], axis=1)
@@ -277,12 +329,15 @@ def beam_level_scored(
         sd, si, sc = lax.sort((cat_d, cat_i, cat_c), dimension=1, num_keys=1)
 
         new_st = BeamState(sd[:, :ef], si[:, :ef], sc[:, :ef])
-        return new_st, qdone, iters + 1, hops, dcomp, pstate
+        return new_st, qdone, iters + 1, hops, dcomp, pstate, ftr
 
     zero = jnp.zeros((b,), jnp.int32)
-    out, _, _, hops, dcomp, pop_state = lax.while_loop(
-        cond, body, (state, ~active, jnp.int32(0), zero, zero, pop_state)
+    out, _, _, hops, dcomp, pop_state, ftrack = lax.while_loop(
+        cond, body,
+        (state, ~active, jnp.int32(0), zero, zero, pop_state, ftrack),
     )
+    if allowed is not None:
+        return out, hops, dcomp, pop_state, ftrack
     return out, hops, dcomp, pop_state
 
 
@@ -300,9 +355,17 @@ def beam_level(
     precision,
     pop_width: int = 1,
     ef_eff: jnp.ndarray | None = None,
+    allowed: jnp.ndarray | None = None,
+    ftrack: FilterTrack | None = None,
 ) -> BeamState:
     """Beam search with exact distances (the Slim/HNSW path)."""
     score = make_exact_scorer(vectors, vn, q, qn, metric, precision)
+    if allowed is not None:
+        st, hops, dcomp, _, ftrack = beam_level_scored(
+            fetch, score, state, active, ef, max_iters, pop_width, ef_eff,
+            allowed=allowed, ftrack=ftrack,
+        )
+        return st, hops, dcomp, ftrack
     st, hops, dcomp, _ = beam_level_scored(
         fetch, score, state, active, ef, max_iters, pop_width, ef_eff
     )
@@ -323,9 +386,11 @@ def level_search(
     metric: str,
     precision,
     pop_width: int = 1,
+    allowed: jnp.ndarray | None = None,
 ):
     """Vanilla HNSW query path (hnswalg.h searchKnn :1378-1440): greedy
-    descent max_level..1, beam (ef) at the base layer."""
+    descent max_level..1, beam (ef) at the base layer. `allowed` as in
+    chal_search (in-kernel BaseFilterFunctor)."""
     b = q.shape[0]
     qn = distance.sq_norms(q)
     cur = jnp.broadcast_to(entry.astype(jnp.int32), (b,))
@@ -340,6 +405,20 @@ def level_search(
             always, metric, precision,
         )
     state = beam_init(cur, curdist, ef)
+    if allowed is not None:
+        seed_ok = allowed[cur]
+        ftrack = FilterTrack(
+            jnp.full((b, ef), INF).at[:, 0].set(jnp.where(seed_ok, curdist, INF)),
+            jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(
+                jnp.where(seed_ok, cur, -1)
+            ),
+        )
+        state, hops, dcomp, ftrack = beam_level(
+            make_dense_fetch(adjs[0]), vectors, vn, q, qn, state, always, ef,
+            max_iters, metric, precision, pop_width,
+            allowed=allowed, ftrack=ftrack,
+        )
+        return ftrack.res_d[:, :k], ftrack.res_id[:, :k], hops, dcomp
     state, hops, dcomp = beam_level(
         make_dense_fetch(adjs[0]), vectors, vn, q, qn, state, always, ef,
         max_iters, metric, precision, pop_width,
@@ -367,10 +446,14 @@ def chal_search(
     pop_width: int = 1,
     ef_eff: jnp.ndarray | None = None,
     dense0: jnp.ndarray | None = None,
+    allowed: jnp.ndarray | None = None,
 ):
     """Full Slim query path (hnswalg_slim.h searchKnn :2030-2131):
     greedy descent for levels max_level..threshold_level+1, beam search for
     levels threshold_level..1 with a shared buffer, then the base layer.
+    `allowed` (bool[N]) enables in-kernel BaseFilterFunctor filtering: the
+    traversal visits every node but results come from the allowed-only
+    track, which also sets the termination bound (k-guarantee).
     Returns (dists f32[B, k], ids i32[B, k]) sorted ascending."""
     b = q.shape[0]
     qn = distance.sq_norms(q)
@@ -390,6 +473,17 @@ def chal_search(
     state = beam_init(cur, curdist, ef)
     hops = jnp.zeros((b,), jnp.int32)
     dcomp = jnp.zeros((b,), jnp.int32)
+    ftrack = None
+    if allowed is not None:
+        # seed the allowed-only track with the beam seed (the reference adds
+        # the entry point to top_candidates when allowed)
+        seed_ok = allowed[cur]
+        ftrack = FilterTrack(
+            jnp.full((b, ef), INF).at[:, 0].set(jnp.where(seed_ok, curdist, INF)),
+            jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(
+                jnp.where(seed_ok, cur, -1)
+            ),
+        )
     for l in range(min(threshold_level, max_level), -1, -1):
         if l == 0 and dense0 is not None:
             # dense serving layout: one 240-byte row transaction per pop
@@ -397,13 +491,22 @@ def chal_search(
             fetch = make_dense_fetch(dense0)
         else:
             fetch = make_chal_fetch(graph_nbr, graph_lvl_off, l, cap if l > 0 else cap0)
-        state, h, dc = beam_level(
-            fetch, vectors, vn, q, qn, state, always, ef, max_iters, metric,
-            precision, pop_width, ef_eff,
-        )
+        if allowed is not None:
+            state, h, dc, ftrack = beam_level(
+                fetch, vectors, vn, q, qn, state, always, ef, max_iters,
+                metric, precision, pop_width, ef_eff,
+                allowed=allowed, ftrack=ftrack,
+            )
+        else:
+            state, h, dc = beam_level(
+                fetch, vectors, vn, q, qn, state, always, ef, max_iters,
+                metric, precision, pop_width, ef_eff,
+            )
         hops += h
         dcomp += dc
         if l > 0:  # reset checked bits: next level re-expands the survivors
             state = BeamState(state.buf_d, state.buf_id, jnp.zeros_like(state.buf_chk))
 
+    if allowed is not None:
+        return ftrack.res_d[:, :k], ftrack.res_id[:, :k], hops, dcomp
     return state.buf_d[:, :k], state.buf_id[:, :k], hops, dcomp

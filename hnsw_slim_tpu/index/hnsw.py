@@ -25,13 +25,14 @@ from ..ops import distance
     static_argnames=("max_level", "ef", "k", "max_iters", "metric", "pop_width"),
 )
 def _search_jit(adjs, entry, vectors, vn, q, *, max_level, ef, k, max_iters,
-                metric, pop_width=1):
+                metric, pop_width=1, allowed=None):
     return gs.level_search(
         adjs, entry, vectors, vn, q,
         max_level=max_level, ef=ef, k=k, max_iters=max_iters,
         metric=metric,
         precision=jax.lax.Precision.HIGHEST,
         pop_width=pop_width,
+        allowed=allowed,
     )
 
 
@@ -41,18 +42,6 @@ def _compact_rows(a: np.ndarray) -> np.ndarray:
     key = np.where(a >= 0, 0, 1)
     order = np.argsort(key, axis=1, kind="stable")
     return np.take_along_axis(a, order, axis=1)
-
-
-def _apply_filter(d, i, mask, k):
-    out_d = np.full((d.shape[0], k), np.inf, np.float32)
-    out_i = np.full((i.shape[0], k), -1, np.int32)
-    for r in range(d.shape[0]):
-        ok = (i[r] >= 0) & mask[np.maximum(i[r], 0)]
-        sel_i = i[r][ok][:k]
-        sel_d = d[r][ok][:k]
-        out_i[r, : len(sel_i)] = sel_i
-        out_d[r, : len(sel_d)] = sel_d
-    return out_d, out_i
 
 
 class HnswIndex:
@@ -164,36 +153,38 @@ class HnswIndex:
         )
 
     def set_ef(self, ef: int) -> None:
-        self.scfg = SearchConfig(
-            ef=ef, max_iters=self.scfg.max_iters,
-            pop_width=self.scfg.pop_width,
-        )
+        import dataclasses
+
+        self.scfg = dataclasses.replace(self.scfg, ef=ef)
 
     def search(self, queries: np.ndarray, k: int,
                filter_mask: np.ndarray | None = None):
-        """(dists f32[B, k], ids i32[B, k]) approximate top-k, ascending."""
+        """(dists f32[B, k], ids i32[B, k]) approximate top-k, ascending.
+
+        filter_mask bool[N]: in-kernel BaseFilterFunctor (hnswlib.h:124-133)
+        — traverse everything, return only allowed ids, keep searching until
+        k allowed results are buffered (see graph/search.FilterTrack)."""
         g = self.graph
         ef = max(self.scfg.ef, k)
+        allowed = None
+        max_iters = self.scfg.iters()
+        if filter_mask is not None:
+            allowed = jnp.asarray(np.asarray(filter_mask, bool))
+            density = max(float(np.mean(np.asarray(filter_mask, bool))), 0.05)
+            max_iters = int(max_iters / density) + 8
         d, i, hops, dcomp = _search_jit(
             g.adjs, g.entry, self.vectors, self.vn,
             jnp.asarray(np.asarray(queries, np.float32)),
-            max_level=g.max_level, ef=ef,
-            k=ef if filter_mask is not None else k,
-            max_iters=self.scfg.iters(),
+            max_level=g.max_level, ef=ef, k=k,
+            max_iters=max_iters,
             metric=self.cfg.metric, pop_width=self.scfg.pop_width,
+            allowed=allowed,
         )
         # metric_hops / metric_distance_computations (hnswalg.h:66-67)
         self.last_stats = {
             "hops": int(np.asarray(hops).sum()),
             "distance_computations": int(np.asarray(dcomp).sum()),
         }
-        if filter_mask is not None:
-            # BaseFilterFunctor semantics (hnswlib.h:124-133): disallowed ids
-            # are traversed but never returned. Applied to the ef-wide buffer;
-            # rows may under-fill if fewer than k allowed ids were found.
-            d, i = _apply_filter(np.asarray(d), np.asarray(i),
-                                 np.asarray(filter_mask, bool), k)
-            return d, i
         return np.asarray(d), np.asarray(i)
 
     def check_integrity(self) -> dict:

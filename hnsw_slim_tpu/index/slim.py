@@ -31,7 +31,7 @@ from .hnsw import HnswIndex
 )
 def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
                      threshold_level, cap0, cap, ef, k, max_iters,
-                     metric, pop_width=1, dense0=None):
+                     metric, pop_width=1, dense0=None, allowed=None):
     return gs.chal_search(
         nbr, lvl_off, entry, vectors, vn, q,
         max_level=max_level, threshold_level=threshold_level,
@@ -40,6 +40,7 @@ def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
         precision=jax.lax.Precision.HIGHEST,
         pop_width=pop_width,
         dense0=dense0,
+        allowed=allowed,
     )
 
 
@@ -62,18 +63,6 @@ def _chal_search_dyn_jit(nbr, lvl_off, entry, vectors, vn, q, ef_eff, *,
         pop_width=pop_width,
         ef_eff=ef_eff,
     )
-
-
-def _apply_filter(d, i, mask, k):
-    out_d = np.full((d.shape[0], k), np.inf, np.float32)
-    out_i = np.full((i.shape[0], k), -1, np.int32)
-    for r in range(d.shape[0]):
-        ok = (i[r] >= 0) & mask[np.maximum(i[r], 0)]
-        sel_i = i[r][ok][:k]
-        sel_d = d[r][ok][:k]
-        out_i[r, : len(sel_i)] = sel_i
-        out_d[r, : len(sel_d)] = sel_d
-    return out_d, out_i
 
 
 class HnswSlimIndex:
@@ -137,25 +126,29 @@ class HnswSlimIndex:
                              verbose=verbose)
 
     def set_ef(self, ef: int) -> None:
-        self.scfg = SearchConfig(
-            ef=ef, max_iters=self.scfg.max_iters,
-            pop_width=self.scfg.pop_width,
-            dynamic_ef=self.scfg.dynamic_ef, ef_max=self.scfg.ef_max,
-        )
+        import dataclasses
+
+        self.scfg = dataclasses.replace(self.scfg, ef=ef)
 
     def search(self, queries: np.ndarray, k: int,
                filter_mask: np.ndarray | None = None):
-        """(dists f32[B,k], ids i32[B,k]) — searchKnn (hnswalg_slim.h:2030)."""
+        """(dists f32[B,k], ids i32[B,k]) — searchKnn (hnswalg_slim.h:2030).
+
+        filter_mask bool[N]: BaseFilterFunctor semantics (hnswlib.h:124-133)
+        — disallowed ids are traversed but never returned. Filtering runs
+        in-kernel on an allowed-only result track whose worst entry sets the
+        termination bound, so every query returns k allowed ids whenever k
+        allowed nodes are reachable (no post-hoc under-fill)."""
         g = self.graph
         ef = max(self.scfg.ef, k)
-        if self.scfg.dynamic_ef:
+        if self.scfg.dynamic_ef and filter_mask is None:
             d, i, hops, dcomp = _chal_search_dyn_jit(
                 g.nbr, g.lvl_off, g.entry, self.vectors, self.vn,
                 jnp.asarray(np.asarray(queries, np.float32)),
                 jnp.int32(min(ef, self.scfg.ef_max)),
                 max_level=g.max_level, threshold_level=g.threshold_level,
                 cap0=g.cap0, cap=g.cap, ef_max=self.scfg.ef_max,
-                k=self.scfg.ef_max if filter_mask is not None else k,
+                k=k,
                 max_iters=self.scfg.iters(),
                 metric=self.metric, pop_width=self.scfg.pop_width,
             )
@@ -164,28 +157,29 @@ class HnswSlimIndex:
                 "distance_computations": int(np.asarray(dcomp).sum()),
             }
             return np.asarray(d), np.asarray(i)
+        allowed = None
+        max_iters = self.scfg.iters()
+        if filter_mask is not None:
+            allowed = jnp.asarray(np.asarray(filter_mask, bool))
+            # heavy filtering needs more hops to fill the allowed-only track;
+            # scale the lockstep iteration cap by the disallowed density
+            density = max(float(np.mean(np.asarray(filter_mask, bool))), 0.05)
+            max_iters = int(max_iters / density) + 8
         d, i, hops, dcomp = _chal_search_jit(
             g.nbr, g.lvl_off, g.entry, self.vectors, self.vn,
             jnp.asarray(np.asarray(queries, np.float32)),
             max_level=g.max_level, threshold_level=g.threshold_level,
-            cap0=g.cap0, cap=g.cap, ef=ef,
-            k=ef if filter_mask is not None else k,
-            max_iters=self.scfg.iters(),
+            cap0=g.cap0, cap=g.cap, ef=ef, k=k,
+            max_iters=max_iters,
             metric=self.metric, pop_width=self.scfg.pop_width,
             dense0=self.dense0,
+            allowed=allowed,
         )
         # metric_hops / metric_distance_computations (hnswalg_slim.h:70-71)
         self.last_stats = {
             "hops": int(np.asarray(hops).sum()),
             "distance_computations": int(np.asarray(dcomp).sum()),
         }
-        if filter_mask is not None:
-            # BaseFilterFunctor semantics (hnswlib.h:124-133): disallowed ids
-            # are traversed but never returned. Applied to the ef-wide buffer;
-            # rows may under-fill if fewer than k allowed ids were found.
-            d, i = _apply_filter(np.asarray(d), np.asarray(i),
-                                 np.asarray(filter_mask, bool), k)
-            return d, i
         return np.asarray(d), np.asarray(i)
 
     def index_size(self) -> int:
@@ -196,12 +190,16 @@ class HnswSlimIndex:
     def check_integrity(self) -> dict:
         """hnswalg_slim.h checkIntegrity :2387-2433 + the hierarchical
         membership rule: a level-l neighbor must itself be a level-l node
-        unless l == threshold_level."""
+        unless l == threshold_level. Walks EVERY node at every level (the
+        reference does too) — vectorized over dense level rows instead of a
+        per-node loop, so 1M nodes check in milliseconds."""
+        from ..persist.patch import _level_rows, to_np
+
         g = self.graph
         n = g.n
-        levels = np.asarray(g.level)
-        nbr = np.asarray(g.nbr)
-        off = np.asarray(g.lvl_off)
+        c = to_np(g)
+        levels = c["level"]
+        off = c["lvl_off"]
         total_edges = 0
         for l in range(g.max_level + 1):
             cap_l = g.cap0 if l == 0 else g.cap
@@ -209,12 +207,14 @@ class HnswSlimIndex:
             assert (sizes >= 0).all()
             assert sizes.max(initial=0) <= cap_l, f"level {l} over cap"
             assert not (sizes[levels < l] > 0).any(), "slice on low node"
-            for v in np.nonzero(sizes > 0)[0][:2000]:
-                ids = nbr[off[v, l] : off[v, l + 1]]
-                assert (ids >= 0).all() and (ids < n).all(), "id out of range"
-                assert v not in ids, f"self loop at {v}@{l}"
-                assert len(set(ids.tolist())) == len(ids), f"dup edge {v}@{l}"
-                if l != g.threshold_level:
-                    assert (levels[ids] == l).all(), f"membership rule {v}@{l}"
+            rows = _level_rows(c, l, n, cap_l)  # [N, cap_l] sorted, -1 pad
+            valid = rows >= 0
+            ids = rows[valid]
+            assert (ids < n).all(), f"id out of range @{l}"
+            assert not (rows == np.arange(n)[:, None]).any(), f"self loop @{l}"
+            dup = valid[:, 1:] & (rows[:, 1:] == rows[:, :-1])
+            assert not dup.any(), f"dup edge @{l}"
+            if l != g.threshold_level:
+                assert (levels[ids] == l).all(), f"membership rule @{l}"
             total_edges += int(sizes.sum())
         return {"edges": total_edges, "bytes": g.chal_bytes()}

@@ -183,7 +183,9 @@ class HnswSlimQIndex:
         self._dataset_dev = None
 
     def set_ef(self, ef: int) -> None:
-        self.scfg = SearchConfig(ef=ef, max_iters=self.scfg.max_iters)
+        import dataclasses
+
+        self.scfg = dataclasses.replace(self.scfg, ef=ef)
 
     def search(self, queries: np.ndarray, k: int, rerank: bool = True):
         g = self.graph
@@ -204,7 +206,8 @@ class HnswSlimQIndex:
             max_level=g.max_level, threshold_level=g.threshold_level,
             cap0=g.cap0, cap=g.cap, ef=ef, k=k,
             max_iters=self.scfg.iters(), metric=self.metric,
-            use_ex=self.use_ex, pop_width=self.scfg.pop_width,
+            use_ex=self.use_ex or self.scfg.use_ex,
+            pop_width=self.scfg.pop_width,
         )
         return np.asarray(d)[:, :k], np.asarray(ids)[:, :k]
 

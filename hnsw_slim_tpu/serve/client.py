@@ -52,11 +52,12 @@ class SlimClient:
 
     def set_ef(self, ef: int) -> bool:
         data, _ = self._post(
-            "/setEf", query_pb2.SetEfRequest(ef=ef).SerializeToString()
+            "/setEf",
+            query_pb2.SetEfRequest(ef_search=ef).SerializeToString(),
         )
         resp = query_pb2.SetEfResponse()
         resp.ParseFromString(data)
-        return resp.success
+        return resp.status == "ok" and resp.new_ef_search == ef
 
     def update_index(self, ids, vectors: np.ndarray, compress: bool = True):
         """Send a vector batch; returns the first patch chunk + finished flag

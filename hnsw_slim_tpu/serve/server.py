@@ -39,6 +39,8 @@ class _Batcher:
         self.lock = threading.Lock()
         self.pending: list = []
         self.cv = threading.Condition(self.lock)
+        # live-delete filter, applied IN-KERNEL (FilterTrack k-guarantee)
+        self.filter_mask: np.ndarray | None = None
 
     def query(self, vec: np.ndarray, k: int):
         slot = {"vec": vec, "k": k, "done": threading.Event(), "out": None}
@@ -51,13 +53,14 @@ class _Batcher:
                 batch, self.pending = self.pending, []
             kmax = max(s["k"] for s in batch)
             q = np.stack([s["vec"] for s in batch])
-            d, i = self.index.search(q, k=kmax)
+            d, i = self.index.search(q, k=kmax, filter_mask=self.filter_mask)
             for r, s in enumerate(batch):
                 s["out"] = (d[r, : s["k"]], i[r, : s["k"]])
                 s["done"].set()
         slot["done"].wait(timeout=60.0)
         if slot["out"] is None:  # leader raced away without us; run solo
-            d, i = self.index.search(vec[None], k=k)
+            d, i = self.index.search(vec[None], k=k,
+                                     filter_mask=self.filter_mask)
             return d[0], i[0]
         return slot["out"]
 
@@ -98,10 +101,11 @@ class SlimServer:
     # ---- operations -------------------------------------------------
 
     def query(self, vec: np.ndarray, k: int):
+        # deleted nodes are excluded by the in-kernel allowed-track (the
+        # reference's isMarkedDeleted check inside searchBaseLayerST), so a
+        # query still returns k live results even under heavy delete load
+        self.batcher.filter_mask = ~self.deleted if self.deleted.any() else None
         d, i = self.batcher.query(vec, k)
-        if self.deleted.any():
-            keep = ~self.deleted[np.maximum(i, 0)] & (i >= 0)
-            i, d = i[keep][:k], d[keep][:k]
         out = np.where(i >= 0, self.labels[np.maximum(i, 0)], -1)
         return d, out
 
@@ -210,10 +214,11 @@ class SlimServer:
                     elif self.path == "/setEf":
                         req = query_pb2.SetEfRequest()
                         req.ParseFromString(self._body())
-                        server.set_ef(req.ef)
+                        server.set_ef(req.ef_search)
                         self._send(
-                            query_pb2.SetEfResponse(success=True)
-                            .SerializeToString()
+                            query_pb2.SetEfResponse(
+                                status="ok", new_ef_search=req.ef_search
+                            ).SerializeToString()
                         )
                     elif self.path == "/updateIndex":
                         req = query_pb2.UpdateIndexRequest()

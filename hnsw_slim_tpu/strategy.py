@@ -141,6 +141,7 @@ class HnswSlimQStrategy(SolveStrategy):
         print(f"build cost: {t.ms():.1f} ms")
         print(f"index size: {self.index.index_size()} bytes")
         self.index.set_ef(a.ef_search)
+        self.index.use_ex = a.use_ex  # searchBaseLayerST<use_ex> toggle
         t = Timer()
         _, self.knn = self.index.search(self.queries, k=self.k)
         print(f"solve cost: {t.ms():.1f} ms")
@@ -193,6 +194,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min_indegree0", type=int, default=8)
     p.add_argument("--min_indegree", type=int, default=4)
     p.add_argument("--total_bits", type=int, default=4)
+    p.add_argument("--use_ex", action="store_true",
+                   help="SlimQ: traverse on ex-bit estimates "
+                        "(hnswalg_slimq.h searchBaseLayerST<use_ex=true>)")
     p.add_argument("--metric", default="l2", choices=["l2", "ip"])
     p.add_argument("--build_strategy", default="nnd", choices=["nnd", "insert"])
     p.add_argument("--max_batch", type=int, default=4096)

@@ -39,7 +39,7 @@ def test_same_graph_same_results(harness, tmp_path):
     gp = tmp_path / "g.slimgraph"
     out = subprocess.run(
         [harness, str(bp), str(qp), str(rp), "slim", "30", "128", "64", "10",
-         str(gp)],
+         "1", str(gp)],
         capture_output=True, text=True, timeout=600,
     )
     assert out.returncode == 0, out.stderr[-300:]

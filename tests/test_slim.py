@@ -140,18 +140,49 @@ def test_dynamic_ef_matches_static():
 
 
 def test_filtered_search():
+    """In-kernel BaseFilterFunctor: 50% of nodes disallowed, EVERY query must
+    still return k allowed ids (the allowed-only FilterTrack keeps searching
+    until its ef buffer bounds the frontier), and they must be high-recall
+    against brute force restricted to the allowed set."""
+    from hnsw_slim_tpu.index.bruteforce import BruteForceIndex
+
     base, queries, hnsw = _build_pair(n=2000, nq=20)
     slim = HnswSlimIndex.from_hnsw(hnsw, SlimConfig.from_ratios())
     slim.set_ef(80)
     mask = np.ones(2000, bool)
-    mask[::2] = False  # only odd ids allowed
+    mask[::2] = False  # only odd ids allowed (50% filtered)
     d, ids = slim.search(queries, k=10, filter_mask=mask)
-    valid = ids >= 0
-    assert valid.sum() > 0
-    assert (ids[valid] % 2 == 1).all()
+    assert ids.shape == (20, 10)
+    assert (ids >= 0).all(), "under-filled rows under 50% filtering"
+    assert (ids % 2 == 1).all()
+    assert (np.diff(d, axis=1) >= -1e-5).all()  # sorted ascending
+
+    # recall vs exact search over the ALLOWED subset only
+    bf = BruteForceIndex(base[mask], chunk=1024)
+    _, sub_gt = bf.search(queries, k=10)
+    gt_ids = np.nonzero(mask)[0][sub_gt]  # map back to original ids
+    rec = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10
+        for a, b in zip(ids, gt_ids)
+    ])
+    assert rec >= 0.85, rec
+
     # unfiltered results include even ids
     _, ids2 = slim.search(queries, k=10)
     assert (ids2[ids2 >= 0] % 2 == 0).any()
+
+
+def test_filtered_search_heavy():
+    """90% filtered: still k results per query (reference keeps collecting
+    until k allowed results, hnswalg.h searchBaseLayerST non-bare-bone)."""
+    base, queries, hnsw = _build_pair(n=2000, nq=20)
+    slim = HnswSlimIndex.from_hnsw(hnsw, SlimConfig.from_ratios())
+    slim.set_ef(64)
+    rng = np.random.default_rng(0)
+    mask = rng.random(2000) < 0.1  # only ~10% allowed
+    d, ids = slim.search(queries, k=5, filter_mask=mask)
+    assert (ids >= 0).all()
+    assert mask[ids].all()
 
 
 def test_densify_level0_same_results():
