@@ -86,8 +86,12 @@ def main():
 
     log(f"backend={jax.default_backend()} n={N} dim={DIM} nq={NQ} "
         f"host_cores={HOST_CORES}")
+    # scale=0.3 calibrated so the recall@10-vs-ef curve matches real SIFT-like
+    # behavior (0.95 crossing near ef 128-256 at 1M with M=30): scale 0.15
+    # gives near-disconnected cluster islands where NO ef reaches 0.95 (round-1
+    # probe: 0.91 at ef=512), scale >=0.45 is trivially easy (1.0 at ef=64).
     base, queries = clustered(
-        N, DIM, n_queries=NQ, n_clusters=max(64, N // 1000), seed=7
+        N, DIM, n_queries=NQ, n_clusters=max(64, N // 1000), seed=7, scale=0.3
     )
 
     cdir = os.path.join(REPO, ".bench_cache")

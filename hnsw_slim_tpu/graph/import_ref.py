@@ -67,6 +67,63 @@ def load_ref_slim_graph(path: str) -> ChalGraph:
     )
 
 
+HNSW_MAGIC = 0x484E5347
+
+
+def load_ref_hnsw_graph(path: str):
+    """Import an UNPRUNED reference HNSW adjacency (ref_harness
+    dump_hnsw_graph format: u32 'HNSG' | u32 n | i32 maxlevel | u32 entry |
+    u32 maxM | u32 maxM0 | per node: i32 level | per l: u32 cnt | i32 ids)
+    as a LevelGraph — the mutable serving state updates operate on."""
+    from .types import LevelGraph
+
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, n, maxlevel, entry, maxm, maxm0 = struct.unpack_from(
+        "<IIiIII", data, 0
+    )
+    if magic != HNSW_MAGIC:
+        raise ValueError("bad hnsw graph dump")
+    pos = 24
+    levels = np.zeros(n, np.int32)
+    adjs = [
+        np.full((n, maxm0 if l == 0 else maxm), -1, np.int32)
+        for l in range(maxlevel + 1)
+    ]
+    for v in range(n):
+        (lv,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        levels[v] = lv
+        for l in range(lv + 1):
+            (cnt,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            ids = np.frombuffer(data, np.int32, cnt, pos)
+            pos += 4 * cnt
+            adjs[l][v, :cnt] = ids
+    return LevelGraph(
+        adjs=tuple(jnp.asarray(a) for a in adjs),
+        level=jnp.asarray(levels),
+        entry=jnp.asarray(np.int32(entry)),
+        max_level=int(maxlevel),
+    )
+
+
+def hnsw_index_from_ref(graph_path: str, vectors: np.ndarray, metric="l2",
+                        M: int = 30, ef_construction: int = 128):
+    """HnswIndex serving/updating a reference-built vanilla graph."""
+    from ..config import HnswConfig
+    from ..index.hnsw import HnswIndex
+    from ..ops import distance
+
+    cfg = HnswConfig(M=M, ef_construction=ef_construction, metric=metric)
+    idx = HnswIndex(cfg)
+    idx.graph = load_ref_hnsw_graph(graph_path)
+    idx.levels = np.asarray(idx.graph.level)
+    idx.vectors = jnp.asarray(np.asarray(vectors, np.float32))
+    idx.vn = distance.sq_norms(idx.vectors)
+    return idx
+
+
 def slim_index_from_ref(graph_path: str, vectors: np.ndarray, metric="l2",
                         store_dtype: str = "float32"):
     from ..index.slim import HnswSlimIndex

@@ -172,7 +172,7 @@ class HnswIndex:
             allowed = jnp.asarray(np.asarray(filter_mask, bool))
             density = max(float(np.mean(np.asarray(filter_mask, bool))), 0.05)
             max_iters = int(max_iters / density) + 8
-        d, i, hops, dcomp = _search_jit(
+        out = _search_jit(
             g.adjs, g.entry, self.vectors, self.vn,
             jnp.asarray(np.asarray(queries, np.float32)),
             max_level=g.max_level, ef=ef, k=k,
@@ -180,12 +180,15 @@ class HnswIndex:
             metric=self.cfg.metric, pop_width=self.scfg.pop_width,
             allowed=allowed,
         )
+        # ONE device->host transfer for all outputs (each separate
+        # np.asarray costs a full sync round-trip on the remote tunnel)
+        d, i, hops, dcomp = jax.device_get(out)
         # metric_hops / metric_distance_computations (hnswalg.h:66-67)
         self.last_stats = {
-            "hops": int(np.asarray(hops).sum()),
-            "distance_computations": int(np.asarray(dcomp).sum()),
+            "hops": int(hops.sum()),
+            "distance_computations": int(dcomp.sum()),
         }
-        return np.asarray(d), np.asarray(i)
+        return d, i
 
     def check_integrity(self) -> dict:
         """Structural invariants (hnswalg.h checkIntegrity :1501-1531):

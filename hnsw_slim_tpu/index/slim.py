@@ -142,7 +142,7 @@ class HnswSlimIndex:
         g = self.graph
         ef = max(self.scfg.ef, k)
         if self.scfg.dynamic_ef and filter_mask is None:
-            d, i, hops, dcomp = _chal_search_dyn_jit(
+            out = _chal_search_dyn_jit(
                 g.nbr, g.lvl_off, g.entry, self.vectors, self.vn,
                 jnp.asarray(np.asarray(queries, np.float32)),
                 jnp.int32(min(ef, self.scfg.ef_max)),
@@ -152,11 +152,15 @@ class HnswSlimIndex:
                 max_iters=self.scfg.iters(),
                 metric=self.metric, pop_width=self.scfg.pop_width,
             )
+            # ONE device->host transfer for all four outputs: each separate
+            # np.asarray is a ~30 ms sync round-trip on this tunnel (the
+            # transfers, not the device compute, dominated round-1 latency)
+            d, i, hops, dcomp = jax.device_get(out)
             self.last_stats = {
-                "hops": int(np.asarray(hops).sum()),
-                "distance_computations": int(np.asarray(dcomp).sum()),
+                "hops": int(hops.sum()),
+                "distance_computations": int(dcomp.sum()),
             }
-            return np.asarray(d), np.asarray(i)
+            return d, i
         allowed = None
         max_iters = self.scfg.iters()
         if filter_mask is not None:
@@ -165,7 +169,7 @@ class HnswSlimIndex:
             # scale the lockstep iteration cap by the disallowed density
             density = max(float(np.mean(np.asarray(filter_mask, bool))), 0.05)
             max_iters = int(max_iters / density) + 8
-        d, i, hops, dcomp = _chal_search_jit(
+        out = _chal_search_jit(
             g.nbr, g.lvl_off, g.entry, self.vectors, self.vn,
             jnp.asarray(np.asarray(queries, np.float32)),
             max_level=g.max_level, threshold_level=g.threshold_level,
@@ -175,12 +179,14 @@ class HnswSlimIndex:
             dense0=self.dense0,
             allowed=allowed,
         )
+        # ONE device->host transfer (see dynamic_ef branch note)
+        d, i, hops, dcomp = jax.device_get(out)
         # metric_hops / metric_distance_computations (hnswalg_slim.h:70-71)
         self.last_stats = {
-            "hops": int(np.asarray(hops).sum()),
-            "distance_computations": int(np.asarray(dcomp).sum()),
+            "hops": int(hops.sum()),
+            "distance_computations": int(dcomp.sum()),
         }
-        return np.asarray(d), np.asarray(i)
+        return d, i
 
     def index_size(self) -> int:
         """Graph-only bytes in the reference's accounting

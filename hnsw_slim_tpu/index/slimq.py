@@ -209,7 +209,8 @@ class HnswSlimQIndex:
             use_ex=self.use_ex or self.scfg.use_ex,
             pop_width=self.scfg.pop_width,
         )
-        return np.asarray(d)[:, :k], np.asarray(ids)[:, :k]
+        d, ids = jax.device_get((d, ids))  # one transfer, one sync
+        return d[:, :k], ids[:, :k]
 
     def index_size(self) -> int:
         """Graph + quantized payload bytes (no raw vectors) —

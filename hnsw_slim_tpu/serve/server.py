@@ -81,8 +81,14 @@ class SlimServer:
         self.hnsw_cfg = hnsw_cfg or HnswConfig()
         self.slim_cfg = slim_cfg or SlimConfig.from_ratios()
         self.serve_index = serve_index
-        self.hnsw = HnswIndex(self.hnsw_cfg, strategy=build_strategy)
-        self.hnsw.build(np.asarray(base_vectors, np.float32))
+        if isinstance(base_vectors, HnswIndex):
+            # take over an already-built index as the mutable serving state
+            # (e.g. a reference-built graph via graph.import_ref)
+            self.hnsw = base_vectors
+            self.hnsw_cfg = self.hnsw.cfg
+        else:
+            self.hnsw = HnswIndex(self.hnsw_cfg, strategy=build_strategy)
+            self.hnsw.build(np.asarray(base_vectors, np.float32))
         self.slim = HnswSlimIndex.from_hnsw(self.hnsw, self.slim_cfg)
         self.deleted = np.zeros(self.hnsw.graph.n, bool)
         # external label layer (reference label_lookup_): internal slot ->

@@ -143,6 +143,43 @@ static int dump_slim_graph(SlimT& slim, const char* path) {
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// dump the UNPRUNED vanilla HNSW adjacency (per-level link lists) so the TPU
+// engine can take over a reference-built index as its mutable serving state
+// (update-latency benchmarks at reference scale without paying our build).
+// Format: u32 magic 'HNSG' | u32 n | i32 maxlevel | u32 entry | u32 maxM |
+//   u32 maxM0 | per node: i32 level | per l in 0..level: u32 cnt | i32 ids[cnt]
+// ---------------------------------------------------------------------------
+static int dump_hnsw_graph(hnswlib::HierarchicalNSW<float>& h,
+                           const char* path) {
+  std::ofstream f(path, std::ios::binary);
+  const uint32_t magic = 0x484E5347;
+  const uint32_t n = static_cast<uint32_t>(h.cur_element_count);
+  const int32_t maxlevel = h.maxlevel_;
+  const uint32_t entry = static_cast<uint32_t>(h.enterpoint_node_);
+  const uint32_t mm = static_cast<uint32_t>(h.maxM_);
+  const uint32_t mm0 = static_cast<uint32_t>(h.maxM0_);
+  f.write(reinterpret_cast<const char*>(&magic), 4);
+  f.write(reinterpret_cast<const char*>(&n), 4);
+  f.write(reinterpret_cast<const char*>(&maxlevel), 4);
+  f.write(reinterpret_cast<const char*>(&entry), 4);
+  f.write(reinterpret_cast<const char*>(&mm), 4);
+  f.write(reinterpret_cast<const char*>(&mm0), 4);
+  for (uint32_t i = 0; i < n; ++i) {
+    const int32_t lv = h.element_levels_[i];
+    f.write(reinterpret_cast<const char*>(&lv), 4);
+    for (int32_t l = 0; l <= lv; ++l) {
+      hnswlib::linklistsizeint* ll =
+          l == 0 ? h.get_linklist0(i) : h.get_linklist(i, l);
+      const uint32_t cnt = h.getListCount(ll);
+      const int* ids = reinterpret_cast<const int*>(ll + 1);
+      f.write(reinterpret_cast<const char*>(&cnt), 4);
+      f.write(reinterpret_cast<const char*>(ids), 4LL * cnt);
+    }
+  }
+  return 0;
+}
+
 int main(int argc, char** argv) {
   if (argc < 9) {
     std::cerr << "usage: ref_harness base query out mode M efc ef_list k"
@@ -279,6 +316,8 @@ int main(int argc, char** argv) {
     }
     if (dump_path) {
       dump_slim_graph(slim, dump_path);
+      std::string hp = std::string(dump_path) + ".hnsw";
+      dump_hnsw_graph(hnsw, hp.c_str());
       printf("dumped %s\n", dump_path);
     }
   } else {

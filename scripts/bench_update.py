@@ -1,0 +1,55 @@
+"""Update-latency benchmark: /updateIndex semantics at reference scale.
+
+Reference Table 4 (BASELINE.md:54-61): the C++ server completes 1000-vector
+update batches in 1.4-7.9 s at 1-8M scale (insert + full convertFromHNSW
+re-prune + changed-node diff, hnsw_slim_server.cc:115-142). This measures the
+same pipeline here: reference-built 1M vanilla graph imported as the mutable
+serving state, one 1000-vector batch through SlimServer.update_index.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_update.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from hnsw_slim_tpu.graph.import_ref import hnsw_index_from_ref
+    from hnsw_slim_tpu.serve.server import SlimServer
+    from hnsw_slim_tpu.utils.data import clustered
+
+    N, DIM = int(os.environ.get("UPD_N", 1_000_000)), 128
+    BATCH = int(os.environ.get("UPD_BATCH", 1000))
+    g = f"/root/repo/.bench_cache/ref_{N}_128_1024_v3.slimgraph.hnsw"
+    base, extra = clustered(N + 2 * BATCH, DIM, n_queries=0,
+                            n_clusters=max(64, N // 1000), seed=7, scale=0.3)
+    t0 = time.perf_counter()
+    idx = hnsw_index_from_ref(g, base[:N])
+    print(f"import 1M hnsw graph: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    server = SlimServer(idx)  # initial slim conversion (convertFromHNSW)
+    print(f"initial slim convert: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    for trial in range(2):
+        batch = base[N + trial * BATCH : N + (trial + 1) * BATCH]
+        t0 = time.perf_counter()
+        writer = server.update_index(batch)
+        dt = time.perf_counter() - t0
+        blob, finished = writer.next_chunk(1 << 30)
+        print(f"update batch {trial}: {dt:.2f}s for {BATCH} vectors "
+              f"(patch {len(blob)/1e6:.1f} MB, finished={finished}) — "
+              f"reference Table 4 @1M: 1.4s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
