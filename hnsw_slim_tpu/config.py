@@ -119,6 +119,16 @@ class SearchConfig:
     # measured fastest AND highest-recall at scale (superset expansion):
     # 1M nodes, ef=64: pop=1 1140qps/0.671 -> pop=4 1457qps/0.679.
     pop_width: int = 4
+    # Straggler compaction: once at most B/frac queries are still active,
+    # compact them into a B/frac-wide sub-batch and continue there (each
+    # fraction is one extra stage). The lockstep loop makes every query pay
+    # the slowest query's iterations; compaction cuts the per-iteration cost
+    # by the batch ratio with bit-identical per-query results.
+    straggler_stages: tuple = (4, 16)
+    # Cap on surviving candidate lanes per iteration after compaction
+    # (0 = auto: max(2*ef, 128)). Pruned-graph pops yield ~7 unique new
+    # neighbors each, so a tight cap shrinks the gather/score/merge width.
+    scan_width: int = 0
     # dynamic_ef: compile ONE program with an ef_max-wide buffer and pass the
     # runtime ef as data — set_ef becomes compile-free (the reference's setEf)
     # at the cost of always paying the ef_max sort width.

@@ -484,6 +484,13 @@ class HnswBuilder:
         self.cfg = cfg
         self.max_batch = max_batch
         self.pad_batch = pad_batch or max_batch
+        # vanilla rows written by insert batches (inserted nodes + their
+        # reverse-connect targets): the incremental re-prune working set
+        self.touched: list[np.ndarray] = []
+
+    def touched_ids(self) -> np.ndarray:
+        return (np.unique(np.concatenate(self.touched))
+                if self.touched else np.zeros(0, np.int64))
 
     def build(self, vectors: np.ndarray, verbose: bool = False):
         """Returns (LevelGraph, levels np.int32[N])."""
@@ -513,52 +520,15 @@ class HnswBuilder:
             max_level=lmax,
         ), levels
 
-    def extend(self, graph: LevelGraph, levels_old: np.ndarray,
-               vectors_all: np.ndarray, n_old: int, verbose: bool = False):
-        """Insert vectors_all[n_old:] into an existing graph (the server-side
-        /updateIndex path: omp-parallel addPoint, hnsw_slim_server.cc:128-135).
-        Returns (LevelGraph, levels) covering all vectors."""
-        cfg = self.cfg
-        n = vectors_all.shape[0]
-        new_levels = sample_levels(n - n_old, cfg.mult, cfg.seed + n_old)
-        levels = np.concatenate([levels_old, new_levels]).astype(np.int32)
-        lmax_old = graph.max_level
-        lmax = max(lmax_old, int(new_levels.max(initial=0)))
-        caps = [cfg.maxM0] + [cfg.maxM] * lmax
-
-        vecs = jnp.asarray(np.asarray(vectors_all, np.float32))
-        vn = distance.sq_norms(vecs)
-        adj_np = []
-        for l in range(lmax + 1):
-            a = np.full((n, caps[l]), -1, np.int32)
-            if l <= lmax_old:
-                old = np.asarray(graph.adjs[l])
-                a[: old.shape[0], : old.shape[1]] = old
-            adj_np.append(a)
-        adj_dev = [jnp.asarray(a) for a in adj_np]
-
-        entry = int(np.asarray(graph.entry))
-        cur_maxlevel = lmax_old
-        entry, cur_maxlevel = self._insert_range(
-            n_old, n, levels, entry, cur_maxlevel, vecs, vn, adj_np, adj_dev,
-            lmax, verbose,
-        )
-        return LevelGraph(
-            adjs=tuple(jnp.asarray(a) for a in adj_np),
-            level=jnp.asarray(levels),
-            entry=jnp.asarray(np.int32(entry)),
-            max_level=lmax,
-        ), levels
-
     def _insert_range(self, start, n, levels, entry, cur_maxlevel, vecs, vn,
                       adj_np, adj_dev, lmax, verbose):
         done = start
         while done < n:
             bsz = min(self._batch_size(done), n - done)
             ids = np.arange(done, done + bsz)
-            self._insert_batch(
+            self.touched.append(self._insert_batch(
                 ids, levels, entry, cur_maxlevel, vecs, vn, adj_np, adj_dev, lmax
-            )
+            ))
             # entry-point update (hnswalg.h:1369-1374): each insert whose level
             # exceeds the running max becomes the new enterpoint, in order.
             for p in ids:
@@ -600,6 +570,7 @@ class HnswBuilder:
         )
 
         cand_i_np = np.asarray(cand_i)  # one D2H for all levels
+        touched: list[np.ndarray] = []
         for l in range(int(lp_eff.max(initial=0)), -1, -1):
             active = lp_eff >= l
             if not active.any():
@@ -638,6 +609,9 @@ class HnswBuilder:
             adj_dev[l] = adj_dev[l].at[jnp.asarray(upd_ids)].set(
                 jnp.asarray(upd_rows)
             )
+            touched.append(upd_ids)
+        return (np.unique(np.concatenate(touched)).astype(np.int64)
+                if touched else np.zeros(0, np.int64))
 
     def _reverse_connect(self, l, a_ids, sel, adj_l, cap_l, vecs, vn):
         """Reverse edges u->p for each forward edge p->u (hnswalg.h:618-687):

@@ -70,7 +70,7 @@ def load_ref_slim_graph(path: str) -> ChalGraph:
 HNSW_MAGIC = 0x484E5347
 
 
-def load_ref_hnsw_graph(path: str):
+def load_ref_hnsw_graph(path: str, return_host: bool = False):
     """Import an UNPRUNED reference HNSW adjacency (ref_harness
     dump_hnsw_graph format: u32 'HNSG' | u32 n | i32 maxlevel | u32 entry |
     u32 maxM | u32 maxM0 | per node: i32 level | per l: u32 cnt | i32 ids)
@@ -100,12 +100,13 @@ def load_ref_hnsw_graph(path: str):
             ids = np.frombuffer(data, np.int32, cnt, pos)
             pos += 4 * cnt
             adjs[l][v, :cnt] = ids
-    return LevelGraph(
+    lg = LevelGraph(
         adjs=tuple(jnp.asarray(a) for a in adjs),
         level=jnp.asarray(levels),
         entry=jnp.asarray(np.int32(entry)),
         max_level=int(maxlevel),
     )
+    return (lg, adjs) if return_host else lg
 
 
 def hnsw_index_from_ref(graph_path: str, vectors: np.ndarray, metric="l2",
@@ -117,8 +118,11 @@ def hnsw_index_from_ref(graph_path: str, vectors: np.ndarray, metric="l2",
 
     cfg = HnswConfig(M=M, ef_construction=ef_construction, metric=metric)
     idx = HnswIndex(cfg)
-    idx.graph = load_ref_hnsw_graph(graph_path)
+    idx.graph, host_adjs = load_ref_hnsw_graph(graph_path, return_host=True)
     idx.levels = np.asarray(idx.graph.level)
+    # seed the host mirror from the parse (host_adj() would otherwise pull
+    # the whole adjacency back through the device tunnel)
+    idx._adj_np = host_adjs
     idx.vectors = jnp.asarray(np.asarray(vectors, np.float32))
     idx.vn = distance.sq_norms(idx.vectors)
     return idx

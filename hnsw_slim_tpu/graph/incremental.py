@@ -1,0 +1,406 @@
+"""Incremental Slim conversion: re-prune only what an update touched.
+
+The reference re-prunes the ENTIRE graph on every /updateIndex
+(convertFromHNSWWithDiff, hnswalg_slim.h:1110-1424) — that full pass is why
+its 1000-vector batches cost seconds (paper Table 4). Here the conversion
+pipeline keeps its intermediate state so an update only recomputes:
+
+  stage 2 (budget prune)      nodes whose vanilla adjacency or hub budget
+                              changed                 (hnswalg_slim.h:951-986)
+  stage 3 (reverse union)     the edge-key delta from those rows
+                                                      (hnswalg_slim.h:988-1015)
+  stage 4/5 (cap + filter)    nodes whose union membership changed
+                                                      (hnswalg_slim.h:999-1084)
+
+The output is IDENTICAL to a full convert_to_slim pass over the updated
+vanilla graph (asserted by tests/test_incremental.py): same stages, same
+kernels, same chunk shapes — only the node set shrinks. The degree-threshold
+walk (:923-945) is recomputed every update from the full histogram (cheap);
+a threshold shift re-prunes exactly the nodes whose budget flipped.
+
+Union edges are kept as one sorted int64 key array per level,
+key = src << 31 | tgt; a directed key exists iff either direction is a
+stage-2 edge — matching the unique(src,tgt ∪ tgt,src) of the full pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import SlimConfig
+from .types import ChalGraph
+
+_SHIFT = np.int64(31)
+
+
+def _keys_of(src: np.ndarray, tgt: np.ndarray) -> np.ndarray:
+    return (src.astype(np.int64) << _SHIFT) | tgt.astype(np.int64)
+
+
+def _row_edges(rows: np.ndarray, ids: np.ndarray):
+    """(src, tgt) arrays over valid entries of rows (ids aligned)."""
+    m = rows >= 0
+    return np.repeat(ids, m.sum(axis=1)), rows[m]
+
+
+def _sorted_merge(keys: np.ndarray, add: np.ndarray, rem: np.ndarray):
+    """keys sorted; remove `rem` then insert `add` (both deduped)."""
+    if len(rem):
+        pos = np.searchsorted(keys, rem)
+        ok = keys[np.minimum(pos, len(keys) - 1)] == rem
+        keep = np.ones(len(keys), bool)
+        keep[pos[ok]] = False
+        keys = keys[keep]
+    if len(add):
+        keys = np.union1d(keys, add)
+    return keys
+
+
+class IncrementalSlim:
+    """Stateful convertFromHNSW: full() once, then update(touched) per batch.
+
+    State per level: thr (degree threshold), budgets, stage-2 pruned rows,
+    the union key array, and the final (post-filter) rows the CHAL packer
+    consumes. All host-side numpy except the prune kernels.
+    """
+
+    def __init__(self, cfg: SlimConfig, metric: str = "l2",
+                 count_level0_hubs: bool = False, chunk: int = 2048):
+        self.cfg = cfg
+        self.metric = metric
+        self.count_level0_hubs = count_level0_hubs
+        self.chunk = chunk
+        # per-level state, filled by full()
+        self.thr: np.ndarray | None = None
+        self.budgets: list[np.ndarray] = []
+        self.stage2: list[np.ndarray] = []
+        self.keys: list[np.ndarray] = []
+        self.final: list[np.ndarray] = []
+        self.levels: np.ndarray | None = None
+        self.entry = 0
+        self.lmax = 0
+        self.caps: list[int] = []
+        self.out_ws: list[int] = []
+
+    # ---- shared kernels ------------------------------------------------
+
+    def _stage2_prune(self, vectors, vn, ids: np.ndarray, cand: np.ndarray,
+                      budget: np.ndarray, out_w: int) -> np.ndarray:
+        """Budget prune rows (PruneByHeuristic, hnswalg_slim.h:951-986) with
+        the exact chunk shape of the full pass (fp-determinism across
+        full/incremental)."""
+        import jax.numpy as jnp
+
+        from .heuristic import prune_all
+        from .prune import _pad_to_len
+
+        na = len(ids)
+        if na == 0:
+            return np.zeros((0, out_w), np.int32)
+        npad = -(-na // self.chunk) * self.chunk
+        out = prune_all(
+            vectors, vn,
+            jnp.asarray(_pad_to_len(ids.astype(np.int32), npad, 0)),
+            jnp.asarray(_pad_to_len(cand, npad, -1)),
+            jnp.asarray(_pad_to_len(budget.astype(np.int32), npad, 1)),
+            M=out_w, keep_all_under_m=False, metric=self.metric,
+            out_width=out_w, chunk=self.chunk,
+        )
+        return np.asarray(out)[:na]
+
+    def _cap_reprune(self, vectors, vn, ids: np.ndarray, rows: np.ndarray,
+                     cap_l: int) -> np.ndarray:
+        """Stage-4 re-prune of over-cap union rows (hnswalg_slim.h:1016-1062)."""
+        import jax.numpy as jnp
+
+        from .heuristic import prune_batch
+        from .prune import _pad, _sort_row_ids
+
+        out = np.full((len(ids), cap_l), -1, np.int32)
+        for s in range(0, len(ids), self.chunk):
+            ck = slice(s, min(s + self.chunk, len(ids)))
+            cpad = _pad(rows[ck])
+            sel, _ = prune_batch(
+                vectors, vn,
+                jnp.asarray(_pad(ids[ck], fill=0)),
+                jnp.asarray(cpad),
+                jnp.asarray(cpad >= 0),
+                M=cap_l, keep_all_under_m=False, metric=self.metric,
+                out_width=cap_l,
+            )
+            out[ck] = _sort_row_ids(np.asarray(sel)[: ck.stop - ck.start])
+        return out
+
+    def _union_rows(self, l: int, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Extract union rows for `ids` from the sorted key array (the
+        stage-3 output of the full pass, grouped per node)."""
+        keys = self.keys[l]
+        if len(keys) == 0:
+            return np.full((len(ids), 1), -1, np.int32), np.zeros(len(ids), np.int64)
+        lo = np.searchsorted(keys, _keys_of(ids, np.zeros_like(ids)))
+        hi = np.searchsorted(keys, _keys_of(ids + 1, np.zeros_like(ids)))
+        counts = hi - lo
+        w = max(1, int(counts.max(initial=1)))
+        idx = lo[:, None] + np.arange(w)[None, :]
+        valid = idx < hi[:, None]
+        rows = np.where(
+            valid,
+            (keys[np.minimum(idx, len(keys) - 1)] & ((np.int64(1) << _SHIFT) - 1)),
+            -1,
+        ).astype(np.int32)
+        return rows, counts
+
+    def _stages45(self, l: int, ids: np.ndarray, vectors, vn) -> np.ndarray:
+        """Union rows -> cap re-prune -> hierarchical level filter; returns
+        final rows [len(ids), cap_l] (canonical ascending, -1 padded)."""
+        from .prune import _sort_row_ids
+
+        cap_l = self.caps[l]
+        rows, counts = self._union_rows(l, ids)
+        if rows.shape[1] < cap_l:
+            rows = np.pad(rows, ((0, 0), (0, cap_l - rows.shape[1])),
+                          constant_values=-1)
+        over = np.nonzero(counts > cap_l)[0]
+        out = np.full((len(ids), cap_l), -1, np.int32)
+        under = counts <= cap_l
+        out[under] = rows[under, :cap_l]
+        if len(over):
+            out[over] = self._cap_reprune(
+                vectors, vn, ids[over], rows[over], cap_l
+            )
+        if l != self.cfg.threshold_level:
+            keep = (out >= 0) & (self.levels[np.maximum(out, 0)] == l)
+            out = _sort_row_ids(np.where(keep, out, -1))
+        return out
+
+    # ---- full conversion -------------------------------------------------
+
+    def full(self, adj_np: list[np.ndarray], levels: np.ndarray, entry: int,
+             vectors, vn, verbose: bool = False) -> ChalGraph:
+        """Initial convertFromHNSW (hnswalg_slim.h:867-1108), capturing the
+        per-level state the update path needs."""
+        from .prune import degree_thresholds
+
+        self.levels = np.asarray(levels, np.int32).copy()
+        n = len(self.levels)
+        self.entry = int(entry)
+        self.lmax = len(adj_np) - 1
+        maxM0 = adj_np[0].shape[1]
+        maxM = adj_np[1].shape[1] if self.lmax >= 1 else maxM0 // 2
+        self.caps = [maxM0] + [maxM] * self.lmax
+        self.out_ws = [self.cfg.top_M0] + [self.cfg.top_M] * self.lmax
+        self.thr = degree_thresholds(
+            adj_np, self.levels, maxM0, self.cfg, self.count_level0_hubs
+        )
+        self.budgets, self.stage2, self.keys, self.final = [], [], [], []
+
+        for l in range(self.lmax + 1):
+            act = np.nonzero(self.levels >= l)[0]
+            a = adj_np[l][act]
+            deg = (a >= 0).sum(axis=1)
+            hi, lo = (
+                (self.cfg.top_M0, self.cfg.low_m0) if l == 0
+                else (self.cfg.top_M, self.cfg.low_m)
+            )
+            out_w = self.out_ws[l]
+            budget_act = np.where(deg > self.thr[l], hi, lo)
+            budgets = np.zeros(n, np.int32)
+            budgets[act] = budget_act
+            self.budgets.append(budgets)
+
+            pruned = self._stage2_prune(
+                vectors, vn, act, a, budget_act, out_w
+            )
+            s2 = np.full((n, out_w), -1, np.int32)
+            s2[act] = pruned
+            self.stage2.append(s2)
+
+            src, tgt = _row_edges(pruned, act)
+            keys = np.unique(
+                np.concatenate([_keys_of(src, tgt), _keys_of(tgt, src)])
+            )
+            self.keys.append(keys)
+
+            fin = np.full((n, self.caps[l]), -1, np.int32)
+            fin[act] = self._stages45(l, act, vectors, vn)
+            if l == self.cfg.threshold_level:
+                fin[act] = self._repair(fin[act], act, vectors, vn)
+            self.final.append(fin)
+            if verbose:
+                print(f"  inc level {l}: thr={self.thr[l]} "
+                      f"edges={(fin >= 0).sum()}")
+
+        return self._pack()
+
+    # ---- incremental update ----------------------------------------------
+
+    def update(self, adj_np: list[np.ndarray], levels: np.ndarray, entry: int,
+               vectors, vn, touched: np.ndarray,
+               level_changed: np.ndarray | None = None,
+               verbose: bool = False) -> tuple[ChalGraph, np.ndarray]:
+        """Re-prune after `touched` vanilla rows changed (inserted nodes +
+        reverse-connect targets). `level_changed`: nodes whose element level
+        changed (slot reuse resamples levels) — their in-neighbors' stage-5
+        membership filters are re-evaluated. Returns (graph, changed_node_ids)
+        where changed ids are exactly the nodes whose final CHAL content
+        differs — the patch membership set (hnswalg_slim.h:1360-1382)."""
+        from .prune import degree_thresholds
+
+        n_old = len(self.levels)
+        levels = np.asarray(levels, np.int32)
+        n = len(levels)
+        self.entry = int(entry)
+        lmax_new = len(adj_np) - 1
+        if lmax_new > self.lmax:  # a new top level appeared (rare)
+            for l in range(self.lmax + 1, lmax_new + 1):
+                self.caps.append(adj_np[l].shape[1])
+                self.out_ws.append(self.cfg.top_M)
+                self.budgets.append(np.zeros(n_old, np.int32))
+                self.stage2.append(np.full((n_old, self.cfg.top_M), -1, np.int32))
+                self.keys.append(np.zeros(0, np.int64))
+                self.final.append(np.full((n_old, self.caps[l]), -1, np.int32))
+            self.lmax = lmax_new
+        if n > n_old:
+            grow = lambda a, w: np.concatenate(
+                [a, np.full((n - n_old, w), -1, a.dtype)]
+            ) if a.ndim == 2 else np.concatenate(
+                [a, np.zeros(n - n_old, a.dtype)]
+            )
+            self.budgets = [grow(b, 0) for b in self.budgets]
+            self.stage2 = [grow(s, s.shape[1]) for s in self.stage2]
+            self.final = [grow(f, f.shape[1]) for f in self.final]
+        self.levels = levels.copy()
+
+        touched = np.unique(np.asarray(touched, np.int64))
+        maxM0 = adj_np[0].shape[1]
+        thr = degree_thresholds(
+            adj_np, levels, maxM0, self.cfg, self.count_level0_hubs
+        )
+        changed_all: list[np.ndarray] = []
+
+        for l in range(self.lmax + 1):
+            act_mask = levels >= l
+            hi, lo = (
+                (self.cfg.top_M0, self.cfg.low_m0) if l == 0
+                else (self.cfg.top_M, self.cfg.low_m)
+            )
+            deg_all = (adj_np[l] >= 0).sum(axis=1)
+            budgets_new = np.where(
+                act_mask, np.where(deg_all > thr[l], hi, lo), 0
+            ).astype(np.int32)
+
+            # stage-2 set: touched rows + budget flips (threshold drift,
+            # level deactivation via slot reuse -> budget 0)
+            c2_mask = np.zeros(n, bool)
+            c2_mask[touched] = True
+            c2_mask |= budgets_new != self.budgets[l]
+            c2 = np.nonzero(c2_mask)[0]
+            self.budgets[l] = budgets_new
+
+            act_c2 = c2[act_mask[c2]]
+            old_rows = self.stage2[l][c2]
+            new_rows = np.full((len(c2), self.out_ws[l]), -1, np.int32)
+            new_rows[act_mask[c2]] = self._stage2_prune(
+                vectors, vn, act_c2, adj_np[l][act_c2],
+                budgets_new[act_c2], self.out_ws[l],
+            )
+            self.stage2[l][c2] = new_rows
+
+            # stage-3 delta: every pair whose directed membership may flip
+            os, ot = _row_edges(old_rows, c2)
+            ns, nt = _row_edges(new_rows, c2)
+            pair_u = np.concatenate([os, ot, ns, nt])
+            pair_v = np.concatenate([ot, os, nt, ns])
+            if len(pair_u):
+                cand = np.unique(_keys_of(pair_u, pair_v))
+                cu = (cand >> _SHIFT).astype(np.int64)
+                cv = (cand & ((np.int64(1) << _SHIFT) - 1)).astype(np.int64)
+                # key (u,v) exists iff v in stage2[u] or u in stage2[v]
+                want = (
+                    (self.stage2[l][cu] == cv[:, None]).any(axis=1)
+                    | (self.stage2[l][cv] == cu[:, None]).any(axis=1)
+                )
+                pos = np.searchsorted(self.keys[l], cand)
+                have = np.zeros(len(cand), bool)
+                inb = pos < len(self.keys[l])
+                have[inb] = self.keys[l][pos[inb]] == cand[inb]
+                flip = want != have
+                self.keys[l] = _sorted_merge(
+                    self.keys[l], cand[flip & want], cand[flip & ~want]
+                )
+                affected_src = cu[flip]
+            else:
+                affected_src = np.zeros(0, np.int64)
+
+            # stage-5 membership depends on neighbor LEVELS: in-neighbors of
+            # level-changed nodes must re-filter even if their union is intact
+            lvl_extra = np.zeros(0, np.int64)
+            if (level_changed is not None and len(level_changed)
+                    and l != self.cfg.threshold_level and len(self.keys[l])):
+                tgts = self.keys[l] & ((np.int64(1) << _SHIFT) - 1)
+                hitk = np.isin(tgts, level_changed)
+                lvl_extra = (self.keys[l][hitk] >> _SHIFT).astype(np.int64)
+
+            a_all = np.unique(np.concatenate([c2, affected_src, lvl_extra]))
+            a_ids = a_all[act_mask[a_all]]
+            deact = a_all[~act_mask[a_all]]
+            changed_l = []
+            if len(deact):  # level dropped: clear rows, mark changed
+                had = (self.final[l][deact] >= 0).any(axis=1)
+                self.final[l][deact] = -1
+                changed_l.append(deact[had])
+            if len(a_ids) == 0:
+                changed_all.append(
+                    np.concatenate(changed_l) if changed_l
+                    else np.zeros(0, np.int64)
+                )
+                continue
+            new_final = self._stages45(l, a_ids, vectors, vn)
+            prev = self.final[l][a_ids]
+            w = max(prev.shape[1], new_final.shape[1])
+            changed_rows = (
+                np.pad(prev, ((0, 0), (0, w - prev.shape[1])),
+                       constant_values=-1)
+                != np.pad(new_final, ((0, 0), (0, w - new_final.shape[1])),
+                          constant_values=-1)
+            ).any(axis=1)
+            self.final[l][a_ids] = new_final
+
+            changed_l.append(a_ids[changed_rows])
+            if l == self.cfg.threshold_level:
+                act = np.nonzero(act_mask)[0]
+                repaired = self._repair(
+                    self.final[l][act], act, vectors, vn
+                )
+                rep_changed = (repaired != self.final[l][act]).any(axis=1)
+                self.final[l][act] = repaired
+                changed_l.append(act[rep_changed])
+            changed_all.append(np.unique(np.concatenate(changed_l)))
+            if verbose:
+                print(f"  inc-upd level {l}: c2={len(c2)} "
+                      f"affected={len(a_ids)} changed={changed_rows.sum()}")
+
+        changed = np.unique(np.concatenate(changed_all)) if changed_all else \
+            np.zeros(0, np.int64)
+        return self._pack(), changed
+
+    # ---- helpers -----------------------------------------------------------
+
+    def _repair(self, rows: np.ndarray, act: np.ndarray, vectors, vn):
+        from .build import repair_connectivity
+
+        return repair_connectivity(
+            rows, act.astype(np.int32), vectors, vn, self.metric
+        )
+
+    def _pack(self) -> ChalGraph:
+        from .prune import pack_chal_arrays
+
+        return pack_chal_arrays(
+            self.final, self.levels,
+            entry=self.entry,
+            max_level=self.lmax,
+            threshold_level=self.cfg.threshold_level,
+            cap0=self.caps[0],
+            cap=self.caps[1] if self.lmax >= 1 else self.caps[0] // 2,
+        )

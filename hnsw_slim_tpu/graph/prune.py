@@ -401,4 +401,6 @@ def pack_chal_arrays(
         threshold_level=int(threshold_level),
         cap0=int(cap0),
         cap=int(cap),
+        # level -1 marks capacity-padding rows: logical count excludes them
+        n_real=int((levels >= 0).sum()),
     )

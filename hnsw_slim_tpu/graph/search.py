@@ -192,6 +192,10 @@ def beam_level_scored(
     pop_hook: Callable | None = None,
     allowed: jnp.ndarray | None = None,
     ftrack: FilterTrack | None = None,
+    stop_active_leq: int = 0,
+    iter_start: jnp.ndarray | None = None,
+    return_done: bool = False,
+    scan_width: int = 0,
 ) -> BeamState:
     """Best-first beam search at one level with a pluggable scorer.
 
@@ -217,6 +221,12 @@ def beam_level_scored(
     to ftrack's worst (reference lowerBound over allowed-only top_candidates,
     hnswalg.h searchBaseLayerST). Returns (state, hops, dcomp, pop_state,
     ftrack) — 5-tuple — when filtering.
+
+    stop_active_leq > 0 additionally exits the lockstep loop once at most
+    that many queries are still active (the staggered straggler pass picks
+    them up in a smaller batch — see beam_level_staged); iter_start carries
+    the lockstep iteration budget across stages; return_done appends
+    (done bool[B], iters) to the return tuple.
     """
     b = active.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, ef), 1)
@@ -224,7 +234,10 @@ def beam_level_scored(
 
     def cond(carry):
         _, done, iters, _, _, _, _ = carry
-        return jnp.any(~done) & (iters < max_iters)
+        go = jnp.any(~done) & (iters < max_iters)
+        if stop_active_leq > 0:
+            go &= jnp.sum((~done).astype(jnp.int32)) > stop_active_leq
+        return go
 
     def body(carry):
         st, done, iters, hops, dcomp, pstate, ftr = carry
@@ -285,9 +298,12 @@ def beam_level_scored(
         # compact before the gather: slim rows average ~a quarter of the
         # padded width, and vector-row gathers are HBM-transaction-bound —
         # sorting the candidate ids packs the valid ones first (and makes
-        # cross-expansion duplicates adjacent for free)
+        # cross-expansion duplicates adjacent for free). scan_width caps the
+        # surviving lanes (pruned-graph pops yield ~7 unique-new neighbors
+        # each, so a tight cap cuts the gather+score+merge width with no
+        # measurable recall cost; overflow lanes are simply dropped)
         ew = ids.shape[1]
-        cw = min(ew, max(2 * ef, 128)) if e > 1 else ew
+        cw = min(ew, scan_width or max(2 * ef, 128)) if e > 1 else ew
         cand_sorted = lax.sort(cand_ids, dimension=1)
         if e > 1:
             dup2 = jnp.concatenate(
@@ -332,13 +348,74 @@ def beam_level_scored(
         return new_st, qdone, iters + 1, hops, dcomp, pstate, ftr
 
     zero = jnp.zeros((b,), jnp.int32)
-    out, _, _, hops, dcomp, pop_state, ftrack = lax.while_loop(
+    it0 = jnp.int32(0) if iter_start is None else iter_start
+    out, done, iters, hops, dcomp, pop_state, ftrack = lax.while_loop(
         cond, body,
-        (state, ~active, jnp.int32(0), zero, zero, pop_state, ftrack),
+        (state, ~active, it0, zero, zero, pop_state, ftrack),
     )
+    tail = (done, iters) if return_done else ()
     if allowed is not None:
-        return out, hops, dcomp, pop_state, ftrack
-    return out, hops, dcomp, pop_state
+        return (out, hops, dcomp, pop_state, ftrack) + tail
+    return (out, hops, dcomp, pop_state) + tail
+
+
+def beam_level_staged(
+    fetch: Callable,
+    vectors: jnp.ndarray,
+    q: jnp.ndarray,
+    qn: jnp.ndarray,
+    state: BeamState,
+    active: jnp.ndarray,
+    ef: int,
+    max_iters: int,
+    metric: str,
+    precision,
+    pop_width: int,
+    ef_eff: jnp.ndarray | None,
+    stage_sizes: tuple,
+    scan_width: int = 0,
+):
+    """Straggler-compacted beam: run the full batch until at most
+    stage_sizes[0] queries remain active, then compact the survivors into a
+    stage_sizes[0]-wide sub-batch and continue (recursively down the stage
+    list). The lockstep while_loop makes every query pay the slowest query's
+    iteration count (measured 2-4x tail at 1M nodes); each compaction cuts
+    the per-iteration cost by the batch ratio while preserving the exact
+    per-query semantics (all beam updates are row-local, so a query computes
+    the same result in any batch). Iteration budget (max_iters) is global
+    across stages."""
+    b = q.shape[0]
+    score = make_exact_scorer(vectors, None, q, qn, metric, precision)
+    st, hops, dcomp, _, done, iters = beam_level_scored(
+        fetch, score, state, active, ef, max_iters, pop_width, ef_eff,
+        stop_active_leq=stage_sizes[0], return_done=True,
+        scan_width=scan_width,
+    )
+    buf_d, buf_id, buf_chk = st
+    for si, bs in enumerate(stage_sizes):
+        if bs >= b:
+            continue
+        perm = jnp.argsort(done)  # stable: active queries first
+        idx = perm[:bs]
+        subq = q[idx]
+        subqn = qn[idx]
+        sscore = make_exact_scorer(
+            vectors, None, subq, subqn, metric, precision
+        )
+        sub = BeamState(buf_d[idx], buf_id[idx], buf_chk[idx])
+        nxt = stage_sizes[si + 1] if si + 1 < len(stage_sizes) else 0
+        sst, sh, sdc, _, sdone, iters = beam_level_scored(
+            fetch, sscore, sub, ~done[idx], ef, max_iters, pop_width,
+            ef_eff, stop_active_leq=nxt, return_done=True, iter_start=iters,
+            scan_width=scan_width,
+        )
+        buf_d = buf_d.at[idx].set(sst.buf_d)
+        buf_id = buf_id.at[idx].set(sst.buf_id)
+        buf_chk = buf_chk.at[idx].set(sst.buf_chk)
+        hops = hops.at[idx].add(sh)
+        dcomp = dcomp.at[idx].add(sdc)
+        done = done.at[idx].set(sdone)
+    return BeamState(buf_d, buf_id, buf_chk), hops, dcomp
 
 
 def beam_level(
@@ -357,17 +434,19 @@ def beam_level(
     ef_eff: jnp.ndarray | None = None,
     allowed: jnp.ndarray | None = None,
     ftrack: FilterTrack | None = None,
+    scan_width: int = 0,
 ) -> BeamState:
     """Beam search with exact distances (the Slim/HNSW path)."""
     score = make_exact_scorer(vectors, vn, q, qn, metric, precision)
     if allowed is not None:
         st, hops, dcomp, _, ftrack = beam_level_scored(
             fetch, score, state, active, ef, max_iters, pop_width, ef_eff,
-            allowed=allowed, ftrack=ftrack,
+            allowed=allowed, ftrack=ftrack, scan_width=scan_width,
         )
         return st, hops, dcomp, ftrack
     st, hops, dcomp, _ = beam_level_scored(
-        fetch, score, state, active, ef, max_iters, pop_width, ef_eff
+        fetch, score, state, active, ef, max_iters, pop_width, ef_eff,
+        scan_width=scan_width,
     )
     return st, hops, dcomp
 
@@ -447,6 +526,8 @@ def chal_search(
     ef_eff: jnp.ndarray | None = None,
     dense0: jnp.ndarray | None = None,
     allowed: jnp.ndarray | None = None,
+    stages: tuple = (),
+    scan_width: int = 0,
 ):
     """Full Slim query path (hnswalg_slim.h searchKnn :2030-2131):
     greedy descent for levels max_level..threshold_level+1, beam search for
@@ -454,6 +535,8 @@ def chal_search(
     `allowed` (bool[N]) enables in-kernel BaseFilterFunctor filtering: the
     traversal visits every node but results come from the allowed-only
     track, which also sets the termination bound (k-guarantee).
+    `stages`: straggler-compaction sub-batch sizes for the base-layer beam
+    (see beam_level_staged); () = single lockstep loop.
     Returns (dists f32[B, k], ids i32[B, k]) sorted ascending."""
     b = q.shape[0]
     qn = distance.sq_norms(q)
@@ -497,10 +580,17 @@ def chal_search(
                 metric, precision, pop_width, ef_eff,
                 allowed=allowed, ftrack=ftrack,
             )
+        elif l == 0 and stages:
+            state, h, dc = beam_level_staged(
+                fetch, vectors, q, qn, state, always, ef, max_iters,
+                metric, precision, pop_width, ef_eff, stages,
+                scan_width=scan_width,
+            )
         else:
             state, h, dc = beam_level(
                 fetch, vectors, vn, q, qn, state, always, ef, max_iters,
                 metric, precision, pop_width, ef_eff,
+                scan_width=scan_width,
             )
         hops += h
         dcomp += dc

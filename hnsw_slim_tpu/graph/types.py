@@ -28,17 +28,20 @@ class ChalGraph:
     """Pruned (Slim) hierarchical adjacency in flat arrays."""
 
     nbr: jnp.ndarray  # int32[E_pad]
-    lvl_off: jnp.ndarray  # int32[N, L_max+2]
-    level: jnp.ndarray  # int32[N]
+    lvl_off: jnp.ndarray  # int32[N_pad, L_max+2]
+    level: jnp.ndarray  # int32[N_pad] (-1 on padding rows)
     entry: jnp.ndarray  # int32[] scalar: enterpoint_node_
     max_level: int = dataclasses.field(metadata=dict(static=True))
     threshold_level: int = dataclasses.field(metadata=dict(static=True))
     cap0: int = dataclasses.field(metadata=dict(static=True))  # max level-0 degree
     cap: int = dataclasses.field(metadata=dict(static=True))  # max upper degree
+    # logical element count when the node dim is padded (0 = unpadded).
+    # Padding keeps compiled search shapes stable across /updateIndex growth.
+    n_real: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def n(self) -> int:
-        return self.level.shape[0]
+        return self.n_real or self.level.shape[0]
 
     def chal_bytes(self) -> int:
         """Graph-only byte accounting, EXACTLY the reference's indexSize
@@ -48,7 +51,33 @@ class ChalGraph:
         reference-built graph."""
         total_nbrs = int(np.asarray(self.lvl_off[:, -1] - self.lvl_off[:, 0]).sum())
         levels = np.asarray(self.level)
-        return int(16 * self.n + 2 * int(levels.sum()) + 4 * total_nbrs)
+        real = levels >= 0  # capacity-padding rows carry level -1
+        return int(16 * int(real.sum()) + 2 * int(levels[real].sum())
+                   + 4 * total_nbrs)
+
+
+def pad_chal_nodes(chal: ChalGraph, multiple: int = 65536) -> ChalGraph:
+    """Pad the node dimension to a multiple so serving programs compile once
+    per capacity bucket instead of once per /updateIndex (the reference's
+    pointer engine has no compiled shapes; here a 1-node growth would
+    otherwise recompile the 1M-scale search). Padding rows: level -1,
+    saturated (empty) offset slices — unreachable by traversal."""
+    logical = chal.n
+    n = chal.level.shape[0]
+    n_pad = -(-n // multiple) * multiple
+    if n_pad == n:
+        return chal if chal.n_real else dataclasses.replace(chal, n_real=n)
+    tail_off = chal.lvl_off[-1, -1]
+    lvl_off = jnp.concatenate([
+        chal.lvl_off,
+        jnp.broadcast_to(tail_off, (n_pad - n, chal.lvl_off.shape[1])),
+    ])
+    level = jnp.concatenate([
+        chal.level, jnp.full((n_pad - n,), -1, jnp.int32)
+    ])
+    return dataclasses.replace(
+        chal, lvl_off=lvl_off, level=level, n_real=logical
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -61,14 +90,18 @@ class LevelGraph:
     level >= l.
     """
 
-    adjs: tuple  # tuple of int32[N, M_l]
-    level: jnp.ndarray  # int32[N]
+    adjs: tuple  # tuple of int32[N_pad, M_l]
+    level: jnp.ndarray  # int32[N_pad] (-1 on capacity-padding rows)
     entry: jnp.ndarray  # int32[] scalar
     max_level: int = dataclasses.field(metadata=dict(static=True))
+    # logical element count when rows are capacity-padded (0 = unpadded).
+    # Capacity buckets keep insert-path programs compiled once across
+    # /updateIndex growth (a vector of N+1000 would otherwise recompile).
+    n_real: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def n(self) -> int:
-        return self.level.shape[0]
+        return self.n_real or self.level.shape[0]
 
 
 def pack_chal(

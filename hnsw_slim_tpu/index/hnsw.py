@@ -83,54 +83,143 @@ class HnswIndex:
                 vectors, verbose=verbose
             )
 
-    def add_points(self, new_vectors: np.ndarray, verbose: bool = False) -> None:
+    def _grow_capacity(self, n_new: int, lmax_new: int, bucket: int = 16384):
+        """Grow vectors/adjacency/levels to a capacity bucket >= n_new.
+        Buckets keep the insert-path program shapes stable across updates
+        (the remote compiler pays tens of seconds per new shape); padding
+        rows carry level -1 and no edges — unreachable by any traversal."""
+        from ..graph.build import _pad_to
+
+        cap_cur = int(self.vectors.shape[0])
+        cap_new = -(-max(n_new, cap_cur) // bucket) * bucket
+        adj_np = self.host_adj()
+        lmax_old = self.graph.max_level
+        caps = [self.cfg.maxM0] + [self.cfg.maxM] * max(lmax_new, lmax_old)
+        if cap_new > cap_cur:
+            pad = cap_new - cap_cur
+            self.vectors = jnp.concatenate([
+                self.vectors,
+                jnp.zeros((pad, self.vectors.shape[1]), self.vectors.dtype),
+            ])
+            self.levels = _pad_to(
+                np.asarray(self.levels, np.int32), cap_new, fill=-1
+            )
+            adj_np = [_pad_to(a, cap_new) for a in adj_np]
+        adj_dev = []
+        for l in range(max(lmax_new, lmax_old) + 1):
+            if l <= lmax_old:
+                d = self.graph.adjs[l]
+                if d.shape[0] < cap_new:  # device-side growth, no re-upload
+                    d = jnp.concatenate([
+                        d, jnp.full((cap_new - d.shape[0], d.shape[1]), -1,
+                                    jnp.int32),
+                    ])
+            else:
+                d = jnp.full((cap_new, caps[l]), -1, jnp.int32)
+                adj_np.append(np.full((cap_new, caps[l]), -1, np.int32))
+            adj_dev.append(d)
+        self._adj_np = adj_np
+        return adj_np, adj_dev
+
+    def add_points(self, new_vectors: np.ndarray,
+                   verbose: bool = False) -> np.ndarray:
         """Incremental insertion into the existing graph (reference addPoint
-        loop, hnsw_slim_server.cc:128-135). Uses the insertion strategy
-        regardless of how the base graph was built."""
-        all_vecs = np.concatenate(
-            [np.asarray(self.vectors), np.asarray(new_vectors, np.float32)]
-        )
+        loop, hnsw_slim_server.cc:128-135). In-place on capacity-bucketed
+        arrays: only the batch crosses the host->device tunnel and program
+        shapes stay stable across updates. Returns the ids of every vanilla
+        row the insert wrote (new nodes + reverse-connect targets) — the
+        working set for the incremental slim re-prune."""
+        from ..graph.build import sample_levels
+
+        new_np = np.asarray(new_vectors, np.float32)
+        b = len(new_np)
         n_old = self.graph.n
-        self.graph, self.levels = HnswBuilder(self.cfg, self.max_batch).extend(
-            self.graph, self.levels[:n_old], all_vecs, n_old, verbose=verbose
+        n_new = n_old + b
+        new_levels = sample_levels(b, self.cfg.mult, self.cfg.seed + n_old)
+        lmax_old = self.graph.max_level
+        lmax = max(lmax_old, int(new_levels.max(initial=0)))
+
+        adj_np, adj_dev = self._grow_capacity(n_new, lmax)
+        ids = np.arange(n_old, n_new)
+        self.levels = np.asarray(self.levels, np.int32).copy()
+        self.levels[ids] = new_levels
+        self.vectors = self.vectors.at[jnp.asarray(ids)].set(
+            jnp.asarray(new_np).astype(self.vectors.dtype)
         )
-        self.vectors = jnp.asarray(all_vecs)
         self.vn = distance.sq_norms(self.vectors)
 
+        builder = HnswBuilder(self.cfg, self.max_batch)
+        entry = int(np.asarray(self.graph.entry))
+        cur_maxlevel = lmax_old
+        done = n_old
+        while done < n_new:
+            bsz = min(builder._batch_size(done), n_new - done)
+            batch_ids = np.arange(done, done + bsz)
+            builder.touched.append(builder._insert_batch(
+                batch_ids, self.levels, entry, cur_maxlevel, self.vectors,
+                self.vn, adj_np, adj_dev, lmax,
+            ))
+            for p in batch_ids:  # enterpoint update (hnswalg.h:1369-1374)
+                if self.levels[p] > cur_maxlevel:
+                    cur_maxlevel = int(self.levels[p])
+                    entry = int(p)
+            done += bsz
+        self.graph = LevelGraph(
+            adjs=tuple(adj_dev),
+            level=jnp.asarray(self.levels),
+            entry=jnp.asarray(np.int32(entry)),
+            max_level=lmax,
+            n_real=n_new,
+        )
+        return builder.touched_ids()
+
     def replace_points(self, slots: np.ndarray, new_vectors: np.ndarray,
-                       verbose: bool = False) -> None:
+                       verbose: bool = False) -> tuple[np.ndarray, np.ndarray]:
         """Reuse deleted slots for new vectors (replace_deleted=true,
         hnswalg.h addPoint replace path / hnsw_slim_server_patch.cc:268-270):
         sever every edge touching the slot, overwrite its vector, then
-        re-insert it through the normal batched insert machinery."""
+        re-insert it through the normal batched insert machinery.
+        Returns (touched_row_ids, level_changed_ids)."""
         from ..graph.build import HnswBuilder, sample_levels
 
         slots = np.asarray(slots, np.int64)
         assert len(slots) == len(new_vectors)
-        vecs_np = np.array(self.vectors)  # mutable copy
-        vecs_np[slots] = np.asarray(new_vectors, np.float32)
+        new_dev = jnp.asarray(np.asarray(new_vectors, np.float32)).astype(
+            self.vectors.dtype
+        )
+        # in-place device update: only the batch crosses the tunnel
+        self.vectors = self.vectors.at[jnp.asarray(slots)].set(new_dev)
         levels_arr = np.asarray(self.levels).copy()
         slot_set = set(slots.tolist())
+        touched = [slots]
 
-        adj_np = []
-        for a in self.graph.adjs:
-            a = np.asarray(a).copy()
+        host_adj = getattr(self, "_adj_np", None)
+        adj_np, adj_dev = [], []
+        for l, a_dev in enumerate(self.graph.adjs):
+            a = (host_adj[l].copy() if host_adj is not None
+                 else np.asarray(a_dev))
             a[slots] = -1  # out-edges
             mask = np.isin(a, slots)  # in-edges
+            in_rows = np.nonzero(mask.any(axis=1))[0]
+            touched.append(in_rows.astype(np.int64))
             a[mask] = -1
-            adj_np.append(_compact_rows(a))
+            a = _compact_rows(a)
+            adj_np.append(a)
+            # ship only the severed rows to the device copy
+            upd = np.unique(np.concatenate([slots, in_rows]))
+            adj_dev.append(
+                a_dev.at[jnp.asarray(upd)].set(jnp.asarray(a[upd]))
+            )
         # fresh levels for reused slots (getRandomLevel per insert)
+        old_levels = levels_arr[slots].copy()
         levels_arr[slots] = sample_levels(
             len(slots), self.cfg.mult, self.cfg.seed + int(slots[0])
         )
         lmax = self.graph.max_level
         levels_arr[slots] = np.minimum(levels_arr[slots], lmax)
+        level_changed = slots[levels_arr[slots] != old_levels]
 
-        import jax.numpy as jnp
-
-        self.vectors = jnp.asarray(vecs_np)
         self.vn = distance.sq_norms(self.vectors)
-        adj_dev = [jnp.asarray(a) for a in adj_np]
         builder = HnswBuilder(self.cfg, self.max_batch)
         entry = int(np.asarray(self.graph.entry))
         cur_maxlevel = lmax
@@ -140,17 +229,27 @@ class HnswIndex:
             cur_maxlevel = int(levels_arr[entry])
         for s in range(0, len(slots), self.max_batch):
             ids = slots[s : s + self.max_batch]
-            builder._insert_batch(
+            touched.append(builder._insert_batch(
                 ids, levels_arr, entry, cur_maxlevel, self.vectors, self.vn,
                 adj_np, adj_dev, lmax,
-            )
+            ))
         self.levels = levels_arr
+        self._adj_np = adj_np
         self.graph = LevelGraph(
-            adjs=tuple(jnp.asarray(a) for a in adj_np),
+            adjs=tuple(adj_dev),  # kept in sync by _insert_batch
             level=jnp.asarray(levels_arr),
             entry=jnp.asarray(np.int32(entry)),
             max_level=lmax,
+            n_real=self.graph.n,  # replacement never changes the count
         )
+        return np.unique(np.concatenate(touched)), level_changed
+
+    def host_adj(self) -> list[np.ndarray]:
+        """Host mirror of the per-level adjacency (lazy; kept in sync by
+        add_points/replace_points so servers never re-download the graph)."""
+        if getattr(self, "_adj_np", None) is None:
+            self._adj_np = [np.asarray(a) for a in self.graph.adjs]
+        return self._adj_np
 
     def set_ef(self, ef: int) -> None:
         import dataclasses
@@ -194,14 +293,15 @@ class HnswIndex:
         """Structural invariants (hnswalg.h checkIntegrity :1501-1531):
         ids in range, no self loops, no duplicate edges, degree within caps."""
         g = self.graph
-        n = g.n
+        n = g.n  # logical count; arrays may be capacity-padded beyond it
         levels = np.asarray(g.level)
         inbound = np.zeros(n, np.int64)
         for l, adj in enumerate(g.adjs):
             a = np.asarray(adj)
             valid = a >= 0
+            assert not valid[n:].any(), f"level {l}: edge on padding row"
             assert a[valid].max(initial=0) < n, f"level {l}: id out of range"
-            rows = np.arange(n)[:, None]
+            rows = np.arange(len(a))[:, None]
             assert not (a == rows)[valid].any(), f"level {l}: self loop"
             # edges only for nodes of sufficient level
             assert not valid[levels < l].any(), f"level {l}: edge on low node"

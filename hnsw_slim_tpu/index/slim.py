@@ -26,12 +26,13 @@ from .hnsw import HnswIndex
     jax.jit,
     static_argnames=(
         "max_level", "threshold_level", "cap0", "cap", "ef", "k",
-        "max_iters", "metric", "pop_width",
+        "max_iters", "metric", "pop_width", "stages", "scan_width",
     ),
 )
 def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
                      threshold_level, cap0, cap, ef, k, max_iters,
-                     metric, pop_width=1, dense0=None, allowed=None):
+                     metric, pop_width=1, dense0=None, allowed=None,
+                     stages=(), scan_width=0):
     return gs.chal_search(
         nbr, lvl_off, entry, vectors, vn, q,
         max_level=max_level, threshold_level=threshold_level,
@@ -41,6 +42,8 @@ def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
         pop_width=pop_width,
         dense0=dense0,
         allowed=allowed,
+        stages=stages,
+        scan_width=scan_width,
     )
 
 
@@ -48,12 +51,13 @@ def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
     jax.jit,
     static_argnames=(
         "max_level", "threshold_level", "cap0", "cap", "ef_max", "k",
-        "max_iters", "metric", "pop_width",
+        "max_iters", "metric", "pop_width", "stages", "scan_width",
     ),
 )
 def _chal_search_dyn_jit(nbr, lvl_off, entry, vectors, vn, q, ef_eff, *,
                          max_level, threshold_level, cap0, cap, ef_max, k,
-                         max_iters, metric, pop_width=1):
+                         max_iters, metric, pop_width=1, stages=(),
+                         scan_width=0):
     return gs.chal_search(
         nbr, lvl_off, entry, vectors, vn, q,
         max_level=max_level, threshold_level=threshold_level,
@@ -62,6 +66,8 @@ def _chal_search_dyn_jit(nbr, lvl_off, entry, vectors, vn, q, ef_eff, *,
         precision=jax.lax.Precision.HIGHEST,
         pop_width=pop_width,
         ef_eff=ef_eff,
+        stages=stages,
+        scan_width=scan_width,
     )
 
 
@@ -86,7 +92,9 @@ class HnswSlimIndex:
 
         from ..persist.patch import _level_rows, to_np
 
-        rows = _level_rows(to_np(self.graph), 0, self.graph.n, self.graph.cap0)
+        n_pad = int(self.graph.level.shape[0])  # incl. node padding, so the
+        # serving shape stays stable across /updateIndex growth
+        rows = _level_rows(to_np(self.graph), 0, n_pad, self.graph.cap0)
         self.dense0 = jnp.asarray(rows.astype(np.int32))
         return int(self.dense0.nbytes)
 
@@ -131,19 +139,28 @@ class HnswSlimIndex:
         self.scfg = dataclasses.replace(self.scfg, ef=ef)
 
     def search(self, queries: np.ndarray, k: int,
-               filter_mask: np.ndarray | None = None):
+               filter_mask: np.ndarray | None = None,
+               entry: jnp.ndarray | None = None):
         """(dists f32[B,k], ids i32[B,k]) — searchKnn (hnswalg_slim.h:2030).
 
         filter_mask bool[N]: BaseFilterFunctor semantics (hnswlib.h:124-133)
         — disallowed ids are traversed but never returned. Filtering runs
         in-kernel on an allowed-only result track whose worst entry sets the
         termination bound, so every query returns k allowed ids whenever k
-        allowed nodes are reachable (no post-hoc under-fill)."""
+        allowed nodes are reachable (no post-hoc under-fill).
+
+        entry: optional per-query entry points i32[B] (multi-component union
+        graphs, parallel/flat_union.py); default = the graph enterpoint."""
         g = self.graph
+        ent = g.entry if entry is None else entry
         ef = max(self.scfg.ef, k)
+        b = int(np.asarray(queries).shape[0])
+        stages = tuple(
+            b // f for f in self.scfg.straggler_stages if b // f >= 32
+        )
         if self.scfg.dynamic_ef and filter_mask is None:
             out = _chal_search_dyn_jit(
-                g.nbr, g.lvl_off, g.entry, self.vectors, self.vn,
+                g.nbr, g.lvl_off, ent, self.vectors, self.vn,
                 jnp.asarray(np.asarray(queries, np.float32)),
                 jnp.int32(min(ef, self.scfg.ef_max)),
                 max_level=g.max_level, threshold_level=g.threshold_level,
@@ -151,6 +168,7 @@ class HnswSlimIndex:
                 k=k,
                 max_iters=self.scfg.iters(),
                 metric=self.metric, pop_width=self.scfg.pop_width,
+                stages=stages, scan_width=self.scfg.scan_width,
             )
             # ONE device->host transfer for all four outputs: each separate
             # np.asarray is a ~30 ms sync round-trip on this tunnel (the
@@ -170,7 +188,7 @@ class HnswSlimIndex:
             density = max(float(np.mean(np.asarray(filter_mask, bool))), 0.05)
             max_iters = int(max_iters / density) + 8
         out = _chal_search_jit(
-            g.nbr, g.lvl_off, g.entry, self.vectors, self.vn,
+            g.nbr, g.lvl_off, ent, self.vectors, self.vn,
             jnp.asarray(np.asarray(queries, np.float32)),
             max_level=g.max_level, threshold_level=g.threshold_level,
             cap0=g.cap0, cap=g.cap, ef=ef, k=k,
@@ -178,6 +196,7 @@ class HnswSlimIndex:
             metric=self.metric, pop_width=self.scfg.pop_width,
             dense0=self.dense0,
             allowed=allowed,
+            stages=stages, scan_width=self.scfg.scan_width,
         )
         # ONE device->host transfer (see dynamic_ef branch note)
         d, i, hops, dcomp = jax.device_get(out)

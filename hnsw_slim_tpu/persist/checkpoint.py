@@ -33,13 +33,14 @@ def save_slim(path: str | Path, index) -> None:
         cap=g.cap,
         entry=int(np.asarray(g.entry)),
     )
+    n = g.n  # slice off capacity padding: files hold the logical index
     np.savez(
         path,
         meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
         nbr=np.asarray(g.nbr),
-        lvl_off=np.asarray(g.lvl_off),
-        level=np.asarray(g.level),
-        vectors=np.asarray(index.vectors),
+        lvl_off=np.asarray(g.lvl_off)[:n],
+        level=np.asarray(g.level)[:n],
+        vectors=np.asarray(index.vectors)[:n],
     )
 
 
@@ -94,8 +95,8 @@ def save_slimq(path: str | Path, index) -> None:
         path,
         meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
         nbr=np.asarray(g.nbr),
-        lvl_off=np.asarray(g.lvl_off),
-        level=np.asarray(g.level),
+        lvl_off=np.asarray(g.lvl_off)[: g.n],
+        level=np.asarray(g.level)[: g.n],
         bin_code=np.asarray(c.bin_code),
         f_add=np.asarray(c.f_add),
         f_rescale=np.asarray(c.f_rescale),
@@ -155,12 +156,13 @@ def save_hnsw(path: str | Path, index) -> None:
         entry=int(np.asarray(g.entry)),
         cfg=dataclasses.asdict(index.cfg),
     )
-    arrays = {f"adj{l}": np.asarray(a) for l, a in enumerate(g.adjs)}
+    n = g.n  # slice off capacity padding: files hold the logical index
+    arrays = {f"adj{l}": np.asarray(a)[:n] for l, a in enumerate(g.adjs)}
     np.savez(
         path,
         meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-        level=np.asarray(g.level),
-        vectors=np.asarray(index.vectors),
+        level=np.asarray(g.level)[:n],
+        vectors=np.asarray(index.vectors)[:n],
         **arrays,
     )
 

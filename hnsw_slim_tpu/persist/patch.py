@@ -66,7 +66,7 @@ def compute_diff(old: ChalGraph, new: ChalGraph) -> tuple[list[int], list[int]]:
     content changed. Fully vectorized (the per-node memcmp loop of the
     reference would be a Python loop here)."""
     o, n = to_np(old), to_np(new)
-    prev_count = len(o["level"])
+    prev_count = old.n  # logical count (the serving graph may be node-padded)
     changed = o["level"] != n["level"][:prev_count]
     lmax = min(old.max_level, new.max_level)
     for l in range(lmax + 1):
@@ -90,7 +90,7 @@ class PatchWriter:
     def __init__(self, chal: ChalGraph, changed_old, changed_new,
                  vectors: np.ndarray | None = None):
         self.chal_np = to_np(chal)
-        self.cur_count = len(self.chal_np["level"])
+        self.cur_count = chal.n  # logical count
         self.old = list(changed_old)
         self.new = list(changed_new)
         self.vectors = vectors
@@ -170,7 +170,7 @@ def apply_patch(
     pos = _HDR.size
 
     c = to_np(chal)
-    prev_count = len(c["level"])
+    prev_count = chal.n  # logical count (serving graphs may be node-padded)
     slices = {}  # v -> (level, [np arrays per level])
     new_vecs = {}
     from ..utils import native
@@ -210,7 +210,7 @@ def apply_patch(
     )
     width = max(chal.cap0, chal.cap)
     levels = np.zeros(n_total, np.int32)
-    levels[:prev_count] = c["level"]
+    levels[:prev_count] = c["level"][:prev_count]
     # bulk-copy untouched nodes per level (vectorized), then overwrite the
     # patched records
     per_level = []

@@ -89,7 +89,31 @@ class SlimServer:
         else:
             self.hnsw = HnswIndex(self.hnsw_cfg, strategy=build_strategy)
             self.hnsw.build(np.asarray(base_vectors, np.float32))
-        self.slim = HnswSlimIndex.from_hnsw(self.hnsw, self.slim_cfg)
+        # stateful conversion: /updateIndex re-prunes only touched nodes
+        # (the reference re-runs convertFromHNSWWithDiff over the whole
+        # graph, hnswalg_slim.h:1110-1424 — same output, less work)
+        from ..graph.incremental import IncrementalSlim
+
+        self.inc = IncrementalSlim(self.slim_cfg, metric=self.hnsw.cfg.metric)
+        chal = self.inc.full(
+            self.hnsw.host_adj(), np.asarray(self.hnsw.levels),
+            int(np.asarray(self.hnsw.graph.entry)),
+            self.hnsw.vectors, self.hnsw.vn,
+        )
+        self.slim = HnswSlimIndex(metric=self.hnsw.cfg.metric)
+        # serve a node-padded graph so the compiled search survives growth
+        # across /updateIndex (same traversal; padding rows unreachable);
+        # the unpadded graph stays the persistence/patch source of truth
+        from ..graph.types import pad_chal_nodes
+
+        self.chal_unpadded = chal
+        self.node_bucket = max(4096, 1 << max(0, (chal.n - 1).bit_length() - 4))
+        self.slim.graph = pad_chal_nodes(chal, self.node_bucket)
+        self.slim.vectors = self.hnsw.vectors
+        self.slim.vn = self.hnsw.vn
+        # host vector mirror for patch encoding (no device->host round trip;
+        # np.array = writable copy, np.asarray of a device buffer is read-only)
+        self.vectors_np = np.array(self.hnsw.vectors, np.float32)
         self.deleted = np.zeros(self.hnsw.graph.n, bool)
         # external label layer (reference label_lookup_): internal slot ->
         # label; deleted slots are reused by later inserts (replace_deleted)
@@ -121,7 +145,8 @@ class SlimServer:
 
     def update_index(self, new_vectors: np.ndarray,
                      new_labels=None) -> patchlib.PatchWriter:
-        """Insert + full re-prune + diff (hnsw_slim_server.cc:115-142).
+        """Insert + incremental re-prune + diff (hnsw_slim_server.cc:115-142,
+        here via graph/incremental.py instead of a whole-graph pass).
         Deleted slots are reused first (replace_deleted=true, deferred
         reinsert — hnsw_slim_server_patch.cc:268-270); the rest append."""
         with self.lock:
@@ -131,17 +156,26 @@ class SlimServer:
                     self.next_label, self.next_label + len(new_vectors)
                 )
             new_labels = np.asarray(list(new_labels), np.int64)
-            old_graph = self.slim.graph
+            prev_count = self.hnsw.graph.n
 
             free = np.nonzero(self.deleted)[0]
             n_reuse = min(len(free), len(new_vectors))
             reused = free[:n_reuse]
+            touched = [np.asarray(reused, np.int64)]
+            level_changed = np.zeros(0, np.int64)
             if n_reuse:
-                self.hnsw.replace_points(reused, new_vectors[:n_reuse])
+                t, level_changed = self.hnsw.replace_points(
+                    reused, new_vectors[:n_reuse]
+                )
+                touched.append(t)
+                self.vectors_np[reused] = new_vectors[:n_reuse]
                 self.labels[reused] = new_labels[:n_reuse]
                 self.deleted[reused] = False
             if n_reuse < len(new_vectors):
-                self.hnsw.add_points(new_vectors[n_reuse:])
+                touched.append(self.hnsw.add_points(new_vectors[n_reuse:]))
+                self.vectors_np = np.concatenate(
+                    [self.vectors_np, new_vectors[n_reuse:]]
+                )
                 self.labels = np.concatenate(
                     [self.labels, new_labels[n_reuse:]]
                 )
@@ -151,19 +185,36 @@ class SlimServer:
                 self.next_label, int(new_labels.max(initial=0)) + 1
             )
 
-            self.slim = HnswSlimIndex.from_hnsw(self.hnsw, self.slim_cfg)
+            chal, changed = self.inc.update(
+                self.hnsw.host_adj(), np.asarray(self.hnsw.levels),
+                int(np.asarray(self.hnsw.graph.entry)),
+                self.hnsw.vectors, self.hnsw.vn,
+                touched=np.concatenate(touched),
+                level_changed=level_changed,
+            )
+            from ..graph.types import pad_chal_nodes
+
+            self.chal_unpadded = chal
+            self.slim.graph = pad_chal_nodes(chal, self.node_bucket)
+            self.slim.vectors = self.hnsw.vectors
+            self.slim.vn = self.hnsw.vn
+            if self.slim.dense0 is not None:
+                self.slim.densify_level0()
             self.batcher.index = (
                 self.hnsw if self.serve_index == "hnsw" else self.slim
             )
-            changed_old, changed_new = patchlib.compute_diff(
-                old_graph, self.slim.graph
-            )
             # reused slots must ship their new vectors: classify as new
-            changed_old = [v for v in changed_old if v not in set(reused.tolist())]
-            changed_new = sorted(set(changed_new) | set(int(v) for v in reused))
+            reused_set = set(int(v) for v in reused)
+            changed_old = sorted(
+                int(v) for v in changed
+                if v < prev_count and int(v) not in reused_set
+            )
+            changed_new = sorted(
+                set(range(prev_count, self.hnsw.graph.n)) | reused_set
+            )
             writer = patchlib.PatchWriter(
-                self.slim.graph, changed_old, changed_new,
-                vectors=np.asarray(self.slim.vectors),
+                self.chal_unpadded, changed_old, changed_new,
+                vectors=self.vectors_np,
             )
             self.pending_writer = writer
             return writer
@@ -258,9 +309,14 @@ class SlimServer:
                     # reference ships the initial index file out-of-band)
                     import io as _io
 
+                    from ..index.slim import HnswSlimIndex as _HSI
                     from ..persist import checkpoint as _cp
                     buf = _io.BytesIO()
-                    _cp.save_slim(buf, server.slim)
+                    logical = _HSI(metric=server.slim.metric)
+                    logical.graph = server.chal_unpadded  # no serving padding
+                    logical.vectors = server.slim.vectors
+                    logical.vn = server.slim.vn
+                    _cp.save_slim(buf, logical)
                     self._send(buf.getvalue())
                 elif self.path.startswith("/getVectors"):
                     # bulk raw-vector range (putVector/getVectorFromBatch,
@@ -270,7 +326,8 @@ class SlimServer:
                     q = parse_qs(urlparse(self.path).query)
                     start = int(q.get("start", ["0"])[0])
                     count = int(q.get("count", ["65536"])[0])
-                    arr = np.asarray(server.slim.vectors)[start : start + count]
+                    end = min(start + count, server.slim.graph.n)
+                    arr = np.asarray(server.slim.vectors)[start:end]
                     self._send(
                         np.ascontiguousarray(arr, np.float32).tobytes(),
                         extra={"X-Dim": str(arr.shape[1]),
