@@ -25,6 +25,7 @@ from ..config import HnswConfig
 from ..ops import distance
 from . import search as gs
 from .heuristic import prune_all, prune_batch
+from .nnd import sorted_run_rank
 from .types import LevelGraph
 
 INF = jnp.float32(jnp.inf)
@@ -150,11 +151,7 @@ def mutual_union(sel: jnp.ndarray, d_sel: jnp.ndarray, *, w_union: int):
     # rank by distance within each src run
     s2, d2, t2 = lax.sort((s1, d1s, t1s), dimension=0, num_keys=2)
 
-    e = s2.shape[0]
-    iota = lax.broadcasted_iota(jnp.int32, (e, 1), 0)[:, 0]
-    first = jnp.concatenate([jnp.ones((1,), bool), s2[1:] != s2[:-1]])
-    runstart = lax.associative_scan(jnp.maximum, jnp.where(first, iota, 0))
-    rank = iota - runstart
+    rank = sorted_run_rank(s2)
     keep = (rank < w_union) & (s2 < n)
 
     rows = jnp.full((n + 1, w_union), -1, jnp.int32)
@@ -548,6 +545,12 @@ class HnswBuilder:
     def _insert_batch(
         self, ids, levels, entry, cur_maxlevel, vecs, vn, adj_np, adj_dev, lmax
     ):
+        import os
+        import time as _time
+
+        timing = os.environ.get("SLIM_TIMING")
+        marks = []
+        t0 = _time.perf_counter()
         cfg = self.cfg
         b = len(ids)
         lp = levels[ids].astype(np.int32)
@@ -570,8 +573,12 @@ class HnswBuilder:
         )
 
         cand_i_np = np.asarray(cand_i)  # one D2H for all levels
+        if timing:
+            marks.append(("search", _time.perf_counter() - t0))
         touched: list[np.ndarray] = []
         for l in range(int(lp_eff.max(initial=0)), -1, -1):
+            if timing:
+                t0 = _time.perf_counter()
             active = lp_eff >= l
             if not active.any():
                 continue
@@ -597,19 +604,40 @@ class HnswBuilder:
             sel = np.asarray(sel)[:na]
             fwd_rows = np.full((len(a_ids), cap_l), -1, np.int32)
             fwd_rows[:, : sel.shape[1]] = sel
+            if timing:
+                marks.append((f"L{l}.fwd", _time.perf_counter() - t0))
+                t0 = _time.perf_counter()
 
             # reverse targets live in the pre-batch graph, disjoint from a_ids
             rev_targets, rev_rows = self._reverse_connect(
                 l, a_ids, sel, adj_np[l], cap_l, vecs, vn
             )
+            if timing:
+                marks.append((f"L{l}.rev", _time.perf_counter() - t0))
+                t0 = _time.perf_counter()
 
             upd_ids = np.concatenate([a_ids, rev_targets]).astype(np.int32)
             upd_rows = np.concatenate([fwd_rows, rev_rows], axis=0)
             adj_np[l][upd_ids] = upd_rows
-            adj_dev[l] = adj_dev[l].at[jnp.asarray(upd_ids)].set(
-                jnp.asarray(upd_rows)
+            # pad the scatter to a pow2 bucket: a fresh length each call
+            # would compile a fresh program (seconds on the remote compiler);
+            # duplicate rows in a scatter are benign (same value written)
+            cap = _next_pow2(len(upd_ids))
+            ids_pad2 = _pad_to(upd_ids, cap, fill=int(upd_ids[0]))
+            rows_pad2 = np.broadcast_to(
+                upd_rows[0], (cap, upd_rows.shape[1])
+            ).copy()
+            rows_pad2[: len(upd_ids)] = upd_rows
+            adj_dev[l] = adj_dev[l].at[jnp.asarray(ids_pad2)].set(
+                jnp.asarray(rows_pad2)
             )
             touched.append(upd_ids)
+            if timing:
+                marks.append((f"L{l}.scatter", _time.perf_counter() - t0))
+        if timing:
+            print("    insert_batch: " + " ".join(
+                f"{k}={v:.2f}s" for k, v in marks if v >= 0.05
+            ), flush=True)
         return (np.unique(np.concatenate(touched)).astype(np.int64)
                 if touched else np.zeros(0, np.int64))
 

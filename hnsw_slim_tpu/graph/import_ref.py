@@ -32,6 +32,26 @@ def load_ref_slim_graph(path: str) -> ChalGraph:
         raise ValueError("bad slim graph dump")
     pos = 28
 
+    from ..utils import native
+
+    parsed = native.slim_graph_parse(path, n, maxlevel)
+    if parsed is not None:  # mmap C scan: ~1 s at 1M vs ~2 min in Python
+        levels, lvl_off32, flat = parsed
+        total_edges = len(flat)
+        e_pad = max(1024, 1 << max(0, total_edges - 1).bit_length())
+        nbr = np.full(e_pad, -1, np.int32)
+        nbr[:total_edges] = flat
+        return ChalGraph(
+            nbr=jnp.asarray(nbr),
+            lvl_off=jnp.asarray(lvl_off32),
+            level=jnp.asarray(levels),
+            entry=jnp.asarray(np.int32(entry)),
+            max_level=int(maxlevel),
+            threshold_level=int(lt),
+            cap0=int(maxm0),
+            cap=int(maxm),
+        )
+
     levels = np.zeros(n, np.int32)
     lvl_off = np.zeros((n, maxlevel + 2), np.int64)
     chunks = []
@@ -85,6 +105,20 @@ def load_ref_hnsw_graph(path: str, return_host: bool = False):
     if magic != HNSW_MAGIC:
         raise ValueError("bad hnsw graph dump")
     pos = 24
+
+    from ..utils import native
+
+    parsed = native.hnsw_graph_parse(path, n, maxlevel, maxm, maxm0)
+    if parsed is not None:  # mmap C scan: ~1 s at 1M vs ~17 min in Python
+        levels, adjs = parsed
+        lg = LevelGraph(
+            adjs=tuple(jnp.asarray(a) for a in adjs),
+            level=jnp.asarray(levels),
+            entry=jnp.asarray(np.int32(entry)),
+            max_level=int(maxlevel),
+        )
+        return (lg, adjs) if return_host else lg
+
     levels = np.zeros(n, np.int32)
     adjs = [
         np.full((n, maxm0 if l == 0 else maxm), -1, np.int32)

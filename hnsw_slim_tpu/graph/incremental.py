@@ -65,11 +65,20 @@ class IncrementalSlim:
     """
 
     def __init__(self, cfg: SlimConfig, metric: str = "l2",
-                 count_level0_hubs: bool = False, chunk: int = 2048):
+                 count_level0_hubs: bool = False, chunk: int = 2048,
+                 repair_updates: bool = False):
         self.cfg = cfg
         self.metric = metric
         self.count_level0_hubs = count_level0_hubs
         self.chunk = chunk
+        # Whether update() re-runs the whole-graph connectivity repair.
+        # full() always repairs (the NND build path needs it); updates on an
+        # insertion-maintained vanilla graph keep connectivity by
+        # construction (every insert links into the existing graph,
+        # hnswalg.h:1344-1367) and the reference's convertFromHNSWWithDiff
+        # performs no repair either — so the default skips the ~30s+
+        # full-graph components pass per batch.
+        self.repair_updates = repair_updates
         # per-level state, filled by full()
         self.thr: np.ndarray | None = None
         self.budgets: list[np.ndarray] = []
@@ -244,7 +253,14 @@ class IncrementalSlim:
         membership filters are re-evaluated. Returns (graph, changed_node_ids)
         where changed ids are exactly the nodes whose final CHAL content
         differs — the patch membership set (hnswalg_slim.h:1360-1382)."""
+        import os
+        import time
+
         from .prune import degree_thresholds
+
+        timing = verbose or os.environ.get("SLIM_TIMING")
+        tmarks: list[tuple[str, float]] = []
+        tick = time.perf_counter
 
         n_old = len(self.levels)
         levels = np.asarray(levels, np.int32)
@@ -279,6 +295,7 @@ class IncrementalSlim:
         changed_all: list[np.ndarray] = []
 
         for l in range(self.lmax + 1):
+            t0 = tick()
             act_mask = levels >= l
             hi, lo = (
                 (self.cfg.top_M0, self.cfg.low_m0) if l == 0
@@ -305,6 +322,8 @@ class IncrementalSlim:
                 budgets_new[act_c2], self.out_ws[l],
             )
             self.stage2[l][c2] = new_rows
+            tmarks.append((f"L{l}.stage2[{len(act_c2)}]", tick() - t0))
+            t0 = tick()
 
             # stage-3 delta: every pair whose directed membership may flip
             os, ot = _row_edges(old_rows, c2)
@@ -341,6 +360,8 @@ class IncrementalSlim:
                 hitk = np.isin(tgts, level_changed)
                 lvl_extra = (self.keys[l][hitk] >> _SHIFT).astype(np.int64)
 
+            tmarks.append((f"L{l}.keys", tick() - t0))
+            t0 = tick()
             a_all = np.unique(np.concatenate([c2, affected_src, lvl_extra]))
             a_ids = a_all[act_mask[a_all]]
             deact = a_all[~act_mask[a_all]]
@@ -365,9 +386,11 @@ class IncrementalSlim:
                           constant_values=-1)
             ).any(axis=1)
             self.final[l][a_ids] = new_final
+            tmarks.append((f"L{l}.stages45[{len(a_ids)}]", tick() - t0))
+            t0 = tick()
 
             changed_l.append(a_ids[changed_rows])
-            if l == self.cfg.threshold_level:
+            if l == self.cfg.threshold_level and self.repair_updates:
                 act = np.nonzero(act_mask)[0]
                 repaired = self._repair(
                     self.final[l][act], act, vectors, vn
@@ -375,6 +398,7 @@ class IncrementalSlim:
                 rep_changed = (repaired != self.final[l][act]).any(axis=1)
                 self.final[l][act] = repaired
                 changed_l.append(act[rep_changed])
+                tmarks.append((f"L{l}.repair", tick() - t0))
             changed_all.append(np.unique(np.concatenate(changed_l)))
             if verbose:
                 print(f"  inc-upd level {l}: c2={len(c2)} "
@@ -382,7 +406,14 @@ class IncrementalSlim:
 
         changed = np.unique(np.concatenate(changed_all)) if changed_all else \
             np.zeros(0, np.int64)
-        return self._pack(), changed
+        t0 = tick()
+        out = self._pack()
+        if timing:
+            tmarks.append(("pack", tick() - t0))
+            print("  inc timing: " + " ".join(
+                f"{k}={v:.2f}s" for k, v in tmarks if v >= 0.05
+            ), flush=True)
+        return out, changed
 
     # ---- helpers -----------------------------------------------------------
 
@@ -396,11 +427,16 @@ class IncrementalSlim:
     def _pack(self) -> ChalGraph:
         from .prune import pack_chal_arrays
 
-        return pack_chal_arrays(
+        out = pack_chal_arrays(
             self.final, self.levels,
             entry=self.entry,
             max_level=self.lmax,
             threshold_level=self.cfg.threshold_level,
             cap0=self.caps[0],
             cap=self.caps[1] if self.lmax >= 1 else self.caps[0] // 2,
+            return_host=True,
         )
+        graph, self.host_chal = out  # host mirror: patch/persist paths read
+        # it directly instead of pulling the device arrays back (D2H of
+        # ~100 MB/update at 1M through the device tunnel)
+        return graph

@@ -30,6 +30,18 @@ from ..ops import distance
 INF = jnp.float32(jnp.inf)
 
 
+def sorted_run_rank(keys: jnp.ndarray) -> jnp.ndarray:
+    """Rank of each element within its run of equal values (keys SORTED
+    ascending). Implemented as a binary search for the run start —
+    lax.associative_scan over multi-million-element arrays stalls the XLA
+    TPU backend compiler for >1 h, while searchsorted compiles in seconds
+    and costs log(e) gathers per element."""
+    e = keys.shape[0]
+    iota = lax.broadcasted_iota(jnp.int32, (e, 1), 0)[:, 0]
+    runstart = jnp.searchsorted(keys, keys, side="left").astype(jnp.int32)
+    return iota - runstart
+
+
 def _chunked_cand_merge(vectors, vn, ids, dists, newf, cand, chunk, metric,
                         precision):
     """Score candidates [N, C] against each node's own vector and merge into
@@ -157,10 +169,7 @@ def _nnd_candidates(
     ).reshape(-1)
     tgt_s = jnp.where(tgt >= 0, tgt, n)
     st, ss = lax.sort((tgt_s, src), dimension=0, num_keys=1)
-    iota = lax.broadcasted_iota(jnp.int32, (n * k, 1), 0)[:, 0]
-    first = jnp.concatenate([jnp.ones((1,), bool), st[1:] != st[:-1]])
-    runstart = lax.associative_scan(jnp.maximum, jnp.where(first, iota, 0))
-    rank = iota - runstart
+    rank = sorted_run_rank(st)
     keep = (rank < r_rev) & (st < n) & (ss < n_valid)
     rev = jnp.full((n + 1, r_rev), -1, jnp.int32)
     rev = rev.at[jnp.where(keep, st, n), jnp.where(keep, rank, 0)].set(
@@ -242,10 +251,7 @@ def nnd_round(
     ).reshape(-1)
     tgt_s = jnp.where(tgt >= 0, tgt, n)
     st, ss = lax.sort((tgt_s, src), dimension=0, num_keys=1)
-    iota = lax.broadcasted_iota(jnp.int32, (n * k, 1), 0)[:, 0]
-    first = jnp.concatenate([jnp.ones((1,), bool), st[1:] != st[:-1]])
-    runstart = lax.associative_scan(jnp.maximum, jnp.where(first, iota, 0))
-    rank = iota - runstart
+    rank = sorted_run_rank(st)
     keep = (rank < r_rev) & (st < n) & (ss < n_valid)  # padded rows never leak
     rev = jnp.full((n + 1, r_rev), -1, jnp.int32)
     rev = rev.at[jnp.where(keep, st, n), jnp.where(keep, rank, 0)].set(

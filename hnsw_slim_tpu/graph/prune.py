@@ -367,35 +367,61 @@ def pack_chal_arrays(
     threshold_level: int,
     cap0: int,
     cap: int,
+    return_host: bool = False,
 ) -> ChalGraph:
     """Vectorized CHAL packing (hnswalg_slim.h:1088-1106): flat neighbor ids
-    grouped per node, per level, with absolute prefix offsets."""
+    grouped per node, per level, with absolute prefix offsets.
+    return_host=True also returns the host numpy dict (nbr/lvl_off/level)
+    so patch/persist consumers skip the device->host round trip."""
+    import os
+    import time as _time
+
+    from ..utils import native
+
+    timing = os.environ.get("SLIM_TIMING")
+    t0 = _time.perf_counter()
     n = len(levels)
     lcnt = max_level + 1
-    counts = np.zeros((n, lcnt), np.int64)
-    for l in range(lcnt):
-        counts[:, l] = ((per_level_rows[l] >= 0) & (levels >= l)[:, None]).sum(axis=1)
-    node_total = counts.sum(axis=1)
-    node_start = np.concatenate([[0], np.cumsum(node_total)[:-1]])
-    lvl_off = np.zeros((n, lcnt + 1), np.int64)
-    lvl_off[:, 0] = node_start
-    for l in range(lcnt):
-        lvl_off[:, l + 1] = lvl_off[:, l] + counts[:, l]
+    packed = native.chal_pack(per_level_rows, levels)
+    if packed is not None:  # C single-pass: ~0.3 s at 1M vs ~40 s in numpy
+        lvl_off32, nbr = packed
+        total = len(nbr)
+        e_pad = max(1024, _next_pow2(total))
+        flat = np.full(e_pad, -1, np.int32)
+        flat[:total] = nbr
+        lvl_off = lvl_off32.astype(np.int64)
+    else:
+        counts = np.zeros((n, lcnt), np.int64)
+        for l in range(lcnt):
+            counts[:, l] = (
+                (per_level_rows[l] >= 0) & (levels >= l)[:, None]
+            ).sum(axis=1)
+        node_total = counts.sum(axis=1)
+        node_start = np.concatenate([[0], np.cumsum(node_total)[:-1]])
+        lvl_off = np.zeros((n, lcnt + 1), np.int64)
+        lvl_off[:, 0] = node_start
+        for l in range(lcnt):
+            lvl_off[:, l + 1] = lvl_off[:, l] + counts[:, l]
 
-    total = int(node_total.sum())
-    e_pad = max(1024, _next_pow2(total))
-    flat = np.full(e_pad, -1, np.int32)
-    for l in range(lcnt):
-        rows = per_level_rows[l]
-        mask = (rows >= 0) & (levels >= l)[:, None]
-        rank = np.cumsum(mask, axis=1) - 1
-        tgt = lvl_off[:, l][:, None] + rank
-        flat[tgt[mask]] = rows[mask]
+        total = int(node_total.sum())
+        e_pad = max(1024, _next_pow2(total))
+        flat = np.full(e_pad, -1, np.int32)
+        for l in range(lcnt):
+            rows = per_level_rows[l]
+            mask = (rows >= 0) & (levels >= l)[:, None]
+            rank = np.cumsum(mask, axis=1) - 1
+            tgt = lvl_off[:, l][:, None] + rank
+            flat[tgt[mask]] = rows[mask]
+    if timing:
+        print(f"    pack host={_time.perf_counter()-t0:.2f}s", flush=True)
+        t0 = _time.perf_counter()
 
-    return ChalGraph(
+    lvl_off32 = lvl_off.astype(np.int32)
+    lvl32 = levels.astype(np.int32)
+    graph = ChalGraph(
         nbr=jnp.asarray(flat),
-        lvl_off=jnp.asarray(lvl_off.astype(np.int32)),
-        level=jnp.asarray(levels.astype(np.int32)),
+        lvl_off=jnp.asarray(lvl_off32),
+        level=jnp.asarray(lvl32),
         entry=jnp.asarray(np.int32(entry)),
         max_level=int(max_level),
         threshold_level=int(threshold_level),
@@ -404,3 +430,11 @@ def pack_chal_arrays(
         # level -1 marks capacity-padding rows: logical count excludes them
         n_real=int((levels >= 0).sum()),
     )
+    if timing:
+        import jax
+
+        jax.block_until_ready((graph.nbr, graph.lvl_off, graph.level))
+        print(f"    pack h2d={_time.perf_counter()-t0:.2f}s", flush=True)
+    if return_host:
+        return graph, dict(nbr=flat, lvl_off=lvl_off32, level=lvl32)
+    return graph

@@ -131,6 +131,13 @@ class HnswIndex:
         working set for the incremental slim re-prune."""
         from ..graph.build import sample_levels
 
+        import os
+        import time as _time
+
+        timing = os.environ.get("SLIM_TIMING")
+        marks = []
+        t0 = _time.perf_counter()
+
         new_np = np.asarray(new_vectors, np.float32)
         b = len(new_np)
         n_old = self.graph.n
@@ -140,6 +147,9 @@ class HnswIndex:
         lmax = max(lmax_old, int(new_levels.max(initial=0)))
 
         adj_np, adj_dev = self._grow_capacity(n_new, lmax)
+        if timing:
+            marks.append(("grow", _time.perf_counter() - t0))
+            t0 = _time.perf_counter()
         ids = np.arange(n_old, n_new)
         self.levels = np.asarray(self.levels, np.int32).copy()
         self.levels[ids] = new_levels
@@ -147,6 +157,10 @@ class HnswIndex:
             jnp.asarray(new_np).astype(self.vectors.dtype)
         )
         self.vn = distance.sq_norms(self.vectors)
+        if timing:
+            self.vn.block_until_ready()
+            marks.append(("vecs", _time.perf_counter() - t0))
+            t0 = _time.perf_counter()
 
         builder = HnswBuilder(self.cfg, self.max_batch)
         entry = int(np.asarray(self.graph.entry))
@@ -171,6 +185,11 @@ class HnswIndex:
             max_level=lmax,
             n_real=n_new,
         )
+        if timing:
+            marks.append(("insert_batches", _time.perf_counter() - t0))
+            print("  add_points timing: " + " ".join(
+                f"{k}={v:.2f}s" for k, v in marks
+            ), flush=True)
         return builder.touched_ids()
 
     def replace_points(self, slots: np.ndarray, new_vectors: np.ndarray,
@@ -205,10 +224,15 @@ class HnswIndex:
             a[mask] = -1
             a = _compact_rows(a)
             adj_np.append(a)
-            # ship only the severed rows to the device copy
+            # ship only the severed rows to the device copy (pow2-padded so
+            # the scatter shape — and its compiled program — is stable)
+            from ..graph.build import _next_pow2, _pad_to
+
             upd = np.unique(np.concatenate([slots, in_rows]))
+            upd_pad = _pad_to(upd.astype(np.int64), _next_pow2(len(upd)),
+                              fill=int(upd[0])) if len(upd) else upd
             adj_dev.append(
-                a_dev.at[jnp.asarray(upd)].set(jnp.asarray(a[upd]))
+                a_dev.at[jnp.asarray(upd_pad)].set(jnp.asarray(a[upd_pad]))
             )
         # fresh levels for reused slots (getRandomLevel per insert)
         old_levels = levels_arr[slots].copy()

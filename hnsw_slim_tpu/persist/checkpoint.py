@@ -186,6 +186,10 @@ def load_hnsw(path: str | Path):
             max_level=meta["max_level"],
         )
         idx.levels = np.asarray(z["level"])
+        # seed the host adjacency mirror from the file (host_adj() would
+        # otherwise pull the whole adjacency back through the device tunnel)
+        idx._adj_np = [np.asarray(z[f"adj{l}"])
+                       for l in range(meta["max_level"] + 1)]
         idx.vectors = jnp.asarray(z["vectors"])
         idx.vn = distance.sq_norms(idx.vectors)
     return idx

@@ -88,8 +88,11 @@ class PatchWriter:
     finished=True."""
 
     def __init__(self, chal: ChalGraph, changed_old, changed_new,
-                 vectors: np.ndarray | None = None):
-        self.chal_np = to_np(chal)
+                 vectors: np.ndarray | None = None,
+                 host_chal: dict | None = None):
+        # host_chal: pre-existing host mirror (IncrementalSlim.host_chal) —
+        # skips pulling ~100 MB of device arrays back through the tunnel
+        self.chal_np = host_chal if host_chal is not None else to_np(chal)
         self.cur_count = chal.n  # logical count
         self.old = list(changed_old)
         self.new = list(changed_new)

@@ -149,6 +149,11 @@ class SlimServer:
         here via graph/incremental.py instead of a whole-graph pass).
         Deleted slots are reused first (replace_deleted=true, deferred
         reinsert — hnsw_slim_server_patch.cc:268-270); the rest append."""
+        import os
+        import time as _time
+
+        timing = os.environ.get("SLIM_TIMING")
+        t0 = _time.perf_counter()
         with self.lock:
             new_vectors = np.asarray(new_vectors, np.float32)
             if new_labels is None:
@@ -184,6 +189,10 @@ class SlimServer:
             self.next_label = max(
                 self.next_label, int(new_labels.max(initial=0)) + 1
             )
+            if timing:
+                print(f"  srv timing: insert={_time.perf_counter()-t0:.2f}s",
+                      flush=True)
+                t0 = _time.perf_counter()
 
             chal, changed = self.inc.update(
                 self.hnsw.host_adj(), np.asarray(self.hnsw.levels),
@@ -215,8 +224,12 @@ class SlimServer:
             writer = patchlib.PatchWriter(
                 self.chal_unpadded, changed_old, changed_new,
                 vectors=self.vectors_np,
+                host_chal=getattr(self.inc, "host_chal", None),
             )
             self.pending_writer = writer
+            if timing:
+                print(f"  srv timing: reprune+patch="
+                      f"{_time.perf_counter()-t0:.2f}s", flush=True)
             return writer
 
     def mark_delete(self, labels) -> int:

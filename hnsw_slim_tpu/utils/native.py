@@ -54,6 +54,12 @@ def _lib():
             p, i64, i32, i32, i32, p, p, p, p, i64, p, p, p, i64,
         ]
         lib.patch_decode.restype = i64
+        lib.slim_graph_parse.argtypes = [ctypes.c_char_p, p, p, p]
+        lib.slim_graph_parse.restype = i64
+        lib.hnsw_graph_parse.argtypes = [ctypes.c_char_p, p, p]
+        lib.hnsw_graph_parse.restype = i64
+        lib.chal_pack.argtypes = [p, p, i32, p, i64, p, p]
+        lib.chal_pack.restype = i64
         _LIB = lib
     return _LIB
 
@@ -158,3 +164,67 @@ def patch_decode(body: bytes, has_vec: bool, dim: int, max_level_cap: int,
         nbr=out_nbr, nbr_off=out_nbr_off[: got + 1],
         vecs=out_vecs[:got], is_new=out_is_new[:got],
     )
+
+
+def slim_graph_parse(path, n: int, maxlevel: int):
+    """Native parse of a ref_harness slim dump body (header parsed by the
+    caller). Returns (levels i32[n], lvl_off i32[n, maxlevel+2],
+    nbr i32[total_edges]) or None if the library is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    levels = np.empty(n, np.int32)
+    lvl_off = np.empty((n, maxlevel + 2), np.int32)
+    total = lib.slim_graph_parse(str(path).encode(), levels.ctypes.data,
+                                 lvl_off.ctypes.data, None)
+    if total < 0:
+        raise IOError(f"slim_graph_parse failed ({total}) for {path}")
+    nbr = np.empty(int(total), np.int32)
+    got = lib.slim_graph_parse(str(path).encode(), levels.ctypes.data,
+                               lvl_off.ctypes.data, nbr.ctypes.data)
+    if got != total:
+        raise IOError(f"slim_graph_parse refill mismatch ({got} != {total})")
+    return levels, lvl_off, nbr
+
+
+def hnsw_graph_parse(path, n: int, maxlevel: int, maxm: int, maxm0: int):
+    """Native parse of a ref_harness hnsw dump. Returns (levels i32[n],
+    adjs list of i32[n, cap_l] filled with -1 padding) or None."""
+    lib = _lib()
+    if lib is None:
+        return None
+    levels = np.empty(n, np.int32)
+    adjs = [np.full((n, maxm0 if l == 0 else maxm), -1, np.int32)
+            for l in range(maxlevel + 1)]
+    ptrs = (ctypes.c_void_p * (maxlevel + 1))(
+        *[a.ctypes.data for a in adjs]
+    )
+    got = lib.hnsw_graph_parse(str(path).encode(), levels.ctypes.data, ptrs)
+    if got != n:
+        raise IOError(f"hnsw_graph_parse failed ({got}) for {path}")
+    return levels, adjs
+
+
+def chal_pack(per_level_rows, levels):
+    """Native CHAL packing. Returns (lvl_off i32[n, lcnt+1], nbr i32[total])
+    or None if the library is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    lcnt = len(per_level_rows)
+    rows = [np.ascontiguousarray(r, np.int32) for r in per_level_rows]
+    levels = np.ascontiguousarray(levels, np.int32)
+    n = len(levels)
+    widths = np.asarray([r.shape[1] for r in rows], np.int32)
+    ptrs = (ctypes.c_void_p * lcnt)(*[r.ctypes.data for r in rows])
+    lvl_off = np.empty((n, lcnt + 1), np.int32)
+    total = lib.chal_pack(ptrs, widths.ctypes.data, lcnt,
+                          levels.ctypes.data, n, lvl_off.ctypes.data, None)
+    if total < 0:
+        raise RuntimeError(f"chal_pack failed: {total}")
+    nbr = np.empty(int(total), np.int32)
+    got = lib.chal_pack(ptrs, widths.ctypes.data, lcnt, levels.ctypes.data,
+                        n, lvl_off.ctypes.data, nbr.ctypes.data)
+    if got != total:
+        raise RuntimeError(f"chal_pack refill mismatch ({got} != {total})")
+    return lvl_off, nbr

@@ -185,4 +185,158 @@ int64_t patch_decode(const char* buf, int64_t len, int32_t has_vec,
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// Reference graph-dump parsers (parity/ref_harness.cc dump formats). The
+// Python struct loops cost ~17 min at 1M nodes; these mmap scans are <1 s.
+// ---------------------------------------------------------------------------
+
+namespace {
+struct MappedFile {
+  const uint8_t* data = nullptr;
+  int64_t size = 0;
+  int fd = -1;
+  bool open(const char* path) {
+    fd = ::open(path, O_RDONLY);
+    if (fd < 0) return false;
+    struct stat st;
+    if (fstat(fd, &st) != 0) return false;
+    size = st.st_size;
+    data = static_cast<const uint8_t*>(
+        mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0));
+    return data != MAP_FAILED;
+  }
+  ~MappedFile() {
+    if (data && data != MAP_FAILED) munmap(const_cast<uint8_t*>(data), size);
+    if (fd >= 0) close(fd);
+  }
+};
+}  // namespace
+
+// Slim dump: u32 'HSLG' | u32 n | i32 maxlevel | u32 entry | i32 Lt |
+// u32 maxM | u32 maxM0 | per node: i32 level | u32 total |
+// u32 end_off[level+1] | i32 ids[total].
+// Fills levels[n], lvl_off[n*(maxlevel+2)] (prefix offsets into nbr), and —
+// when nbr != null — nbr[total_edges]. Returns total_edges, or <0 on error.
+// Call once with nbr=null to size the edge array, then again to fill.
+int64_t slim_graph_parse(const char* path, int32_t* levels, int32_t* lvl_off,
+                         int32_t* nbr) {
+  MappedFile f;
+  if (!f.open(path)) return -1;
+  if (f.size < 28) return -2;
+  const uint8_t* p = f.data;
+  uint32_t magic, n, entry, maxm, maxm0;
+  int32_t maxlevel, lt;
+  std::memcpy(&magic, p, 4);
+  std::memcpy(&n, p + 4, 4);
+  std::memcpy(&maxlevel, p + 8, 4);
+  std::memcpy(&entry, p + 12, 4);
+  std::memcpy(&lt, p + 16, 4);
+  std::memcpy(&maxm, p + 20, 4);
+  std::memcpy(&maxm0, p + 24, 4);
+  if (magic != 0x48534C47u) return -3;
+  p += 28;
+  const uint8_t* end = f.data + f.size;
+  const int32_t stride = maxlevel + 2;
+  int64_t total_edges = 0;
+  for (uint32_t v = 0; v < n; ++v) {
+    if (p + 8 > end) return -4;
+    int32_t lv;
+    uint32_t total;
+    std::memcpy(&lv, p, 4);
+    std::memcpy(&total, p + 4, 4);
+    p += 8;
+    if (lv < 0 || lv > maxlevel) return -5;
+    if (p + 4 * (lv + 1) + 4 * static_cast<int64_t>(total) > end) return -6;
+    if (levels) levels[v] = lv;
+    if (lvl_off) {
+      int32_t* row = lvl_off + static_cast<int64_t>(v) * stride;
+      row[0] = static_cast<int32_t>(total_edges);
+      const uint8_t* ends = p;
+      for (int32_t l = 0; l <= maxlevel; ++l) {
+        uint32_t e;
+        std::memcpy(&e, ends + 4 * (l <= lv ? l : lv), 4);
+        row[l + 1] = static_cast<int32_t>(total_edges + e);
+      }
+    }
+    p += 4 * (lv + 1);
+    if (nbr)
+      std::memcpy(nbr + total_edges, p, 4 * static_cast<int64_t>(total));
+    p += 4 * static_cast<int64_t>(total);
+    total_edges += total;
+  }
+  return total_edges;
+}
+
+// CHAL packing (hnswalg_slim.h:1088-1106): flatten per-level neighbor row
+// arrays into one contiguous id stream with per-node per-level prefix
+// offsets. rows: lcnt pointers to int32[n, widths[l]] arrays (-1 = empty
+// slot); levels[v] < l disables level l for node v (level -1 = padding row).
+// Fills lvl_off[n*(lcnt+1)] and — when nbr != null — nbr[..]. Returns total
+// edge count (call with nbr=null to size, then again to fill).
+int64_t chal_pack(const int32_t** rows, const int32_t* widths, int32_t lcnt,
+                  const int32_t* levels, int64_t n, int32_t* lvl_off,
+                  int32_t* nbr) {
+  int64_t pos = 0;
+  for (int64_t v = 0; v < n; ++v) {
+    int32_t* off = lvl_off + v * (lcnt + 1);
+    off[0] = static_cast<int32_t>(pos);
+    const int32_t lv = levels[v];
+    for (int32_t l = 0; l < lcnt; ++l) {
+      if (lv >= l) {
+        const int32_t w = widths[l];
+        const int32_t* r = rows[l] + v * w;
+        for (int32_t j = 0; j < w; ++j) {
+          if (r[j] >= 0) {
+            if (nbr) nbr[pos] = r[j];
+            ++pos;
+          }
+        }
+      }
+      off[l + 1] = static_cast<int32_t>(pos);
+    }
+  }
+  return pos;
+}
+
+// HNSW dump: u32 'HNSG' | u32 n | i32 maxlevel | u32 entry | u32 maxM |
+// u32 maxM0 | per node: i32 level | per l in 0..level: u32 cnt | i32 ids.
+// adjs: array of maxlevel+1 pointers, adjs[l] -> int32[n, l==0?maxm0:maxm]
+// buffers PRE-FILLED with -1. Returns n, or <0 on error.
+int64_t hnsw_graph_parse(const char* path, int32_t* levels, int32_t** adjs) {
+  MappedFile f;
+  if (!f.open(path)) return -1;
+  if (f.size < 24) return -2;
+  const uint8_t* p = f.data;
+  uint32_t magic, n, entry, maxm, maxm0;
+  int32_t maxlevel;
+  std::memcpy(&magic, p, 4);
+  std::memcpy(&n, p + 4, 4);
+  std::memcpy(&maxlevel, p + 8, 4);
+  std::memcpy(&entry, p + 12, 4);
+  std::memcpy(&maxm, p + 16, 4);
+  std::memcpy(&maxm0, p + 20, 4);
+  if (magic != 0x484E5347u) return -3;
+  p += 24;
+  const uint8_t* end = f.data + f.size;
+  for (uint32_t v = 0; v < n; ++v) {
+    if (p + 4 > end) return -4;
+    int32_t lv;
+    std::memcpy(&lv, p, 4);
+    p += 4;
+    if (lv < 0 || lv > maxlevel) return -5;
+    levels[v] = lv;
+    for (int32_t l = 0; l <= lv; ++l) {
+      if (p + 4 > end) return -6;
+      uint32_t cnt;
+      std::memcpy(&cnt, p, 4);
+      p += 4;
+      const uint32_t cap = l == 0 ? maxm0 : maxm;
+      if (cnt > cap || p + 4 * static_cast<int64_t>(cnt) > end) return -7;
+      std::memcpy(adjs[l] + static_cast<int64_t>(v) * cap, p, 4 * cnt);
+      p += 4 * static_cast<int64_t>(cnt);
+    }
+  }
+  return n;
+}
+
 }  // extern "C"

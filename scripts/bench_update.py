@@ -24,23 +24,30 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     from hnsw_slim_tpu.graph.import_ref import hnsw_index_from_ref
+    from hnsw_slim_tpu.persist.checkpoint import load_hnsw, save_hnsw
     from hnsw_slim_tpu.serve.server import SlimServer
     from hnsw_slim_tpu.utils.data import clustered
 
     N, DIM = int(os.environ.get("UPD_N", 1_000_000)), 128
     BATCH = int(os.environ.get("UPD_BATCH", 1000))
+    TRIALS = int(os.environ.get("UPD_TRIALS", 3))
     g = f"/root/repo/.bench_cache/ref_{N}_128_1024_v3.slimgraph.hnsw"
-    base, extra = clustered(N + 2 * BATCH, DIM, n_queries=0,
+    base, extra = clustered(N + TRIALS * BATCH, DIM, n_queries=0,
                             n_clusters=max(64, N // 1000), seed=7, scale=0.3)
     t0 = time.perf_counter()
-    idx = hnsw_index_from_ref(g, base[:N])
+    npz = g + ".npz"  # parsed-import cache (the binary parse costs ~17 min)
+    if os.path.exists(npz):
+        idx = load_hnsw(npz)
+    else:
+        idx = hnsw_index_from_ref(g, base[:N])
+        save_hnsw(npz, idx)
     print(f"import 1M hnsw graph: {time.perf_counter()-t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
     server = SlimServer(idx)  # initial slim conversion (convertFromHNSW)
     print(f"initial slim convert: {time.perf_counter()-t0:.1f}s", flush=True)
 
-    for trial in range(2):
+    for trial in range(TRIALS):
         batch = base[N + trial * BATCH : N + (trial + 1) * BATCH]
         t0 = time.perf_counter()
         writer = server.update_index(batch)
