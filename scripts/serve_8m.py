@@ -73,6 +73,11 @@ def ground_truth(base, queries):
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "tpu"
+    if mode == "mesh":  # must precede backend init (first jnp array use)
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        )
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -111,12 +116,12 @@ def main():
         results = {}
         import dataclasses
 
-        for ef in (32, 64, 96, 128, 192):
-            uni.scfg = dataclasses.replace(
-                uni.scfg, ef=ef,
-                pop_width=8 if ef <= 96 else 16,
-                scan_width=0 if ef <= 96 else 96,
-            )
+        # NOTE: keep pop_width=8 / scan_width=0 at every ef here — the 1M
+        # bench's high-ef knobs (pop 16 / scan 96) drop recall 0.999->0.78
+        # on the union graph (8 shard replicas per query overflow the
+        # scan-width cap; measured 2026-08-17)
+        for ef in (32, 64, 96, 128):
+            uni.scfg = dataclasses.replace(uni.scfg, ef=ef)
             _, ids = uni.search(queries, k=10)  # compile + warm
             times = []
             for _ in range(3):
@@ -135,10 +140,6 @@ def main():
                        for e, (r, q) in results.items()},
         }), flush=True)
     else:
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + " --xla_force_host_platform_device_count=8"
-        )
         from jax.sharding import Mesh
 
         from hnsw_slim_tpu.parallel.sharded import ShardedSlimIndex
