@@ -103,8 +103,15 @@ def convert_to_slim(
 
     thr = degree_thresholds(adj_np, levels, maxM0, cfg, count_level0_hubs)
 
+    import os
+    import time as _time
+
+    timing = os.environ.get("SLIM_TIMING")
+    tmarks = []
+
     final_rows: list[np.ndarray] = []
     for l in range(lmax + 1):
+        t0 = _time.perf_counter()
         act = np.nonzero(levels >= l)[0]
         a = adj_np[l][act]
         deg = (a >= 0).sum(axis=1)
@@ -131,6 +138,9 @@ def convert_to_slim(
                 out_width=out_w, chunk=chunk,
             )
         )[:na]
+        if timing:
+            tmarks.append((f"L{l}.stage2[{na}]", _time.perf_counter() - t0))
+            t0 = _time.perf_counter()
 
         # stage 3: reverse union + dedup (sorted by id)
         s_ids = np.repeat(act, out_w)
@@ -144,6 +154,9 @@ def convert_to_slim(
         u_src = (key // n).astype(np.int64)
         u_tgt = (key % n).astype(np.int32)
         rows, counts = _group_rows(u_src, u_tgt, act, n)
+        if timing:
+            tmarks.append((f"L{l}.union", _time.perf_counter() - t0))
+            t0 = _time.perf_counter()
 
         # stage 4: re-prune rows overflowing the level cap
         over = np.nonzero(counts > cap_l)[0]
@@ -166,6 +179,9 @@ def convert_to_slim(
         if rows.shape[1] > cap_l:
             assert not (rows[:, cap_l:] >= 0).any()
             rows = rows[:, :cap_l]
+        if timing:
+            tmarks.append((f"L{l}.cap[{len(over)}]", _time.perf_counter() - t0))
+            t0 = _time.perf_counter()
 
         # stage 5: hierarchical level filter
         if l != cfg.threshold_level:
@@ -185,11 +201,17 @@ def convert_to_slim(
             full[act] = repair_connectivity(
                 full[act], act.astype(np.int32), vectors, vn, metric
             )
+        if timing:
+            tmarks.append((f"L{l}.filt+repair", _time.perf_counter() - t0))
         final_rows.append(full)
         if verbose:
             kept = (final_rows[l] >= 0).sum()
             print(f"  slim level {l}: thr={thr[l]} edges={kept}")
 
+    if timing:
+        print("  convert timing: " + " ".join(
+            f"{k}={v:.2f}s" for k, v in tmarks if v >= 0.05
+        ), flush=True)
     return pack_chal_arrays(
         final_rows, levels,
         entry=int(np.asarray(lg.entry)),
@@ -331,10 +353,16 @@ def convert_to_slimzero(
             full[act] = repair_connectivity(
                 full[act], act.astype(np.int32), vectors, vn, metric
             )
+        if timing:
+            tmarks.append((f"L{l}.filt+repair", _time.perf_counter() - t0))
         final_rows.append(full)
         if verbose:
             print(f"  slimzero level {l}: thr={thr[l]} edges={(full >= 0).sum()}")
 
+    if timing:
+        print("  convert timing: " + " ".join(
+            f"{k}={v:.2f}s" for k, v in tmarks if v >= 0.05
+        ), flush=True)
     return pack_chal_arrays(
         final_rows, levels,
         entry=int(np.asarray(lg.entry)),

@@ -32,12 +32,13 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
 
 
 def _local_search(nbr, lvl_off, entry, vecs, vn, gids, q, *, max_level,
-                  threshold_level, cap0, cap, ef, k, max_iters, metric):
+                  threshold_level, cap0, cap, ef, k, max_iters, metric,
+                  pop_width):
     d, i, _, _ = gs.chal_search(
         nbr, lvl_off, entry, vecs, vn, q,
         max_level=max_level, threshold_level=threshold_level, cap0=cap0,
         cap=cap, ef=ef, k=k, max_iters=max_iters, metric=metric,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGHEST, pop_width=pop_width,
     )
     gi = jnp.where(i >= 0, gids[jnp.maximum(i, 0)], -1)
     d = jnp.where(gi >= 0, d, jnp.inf)  # padded nodes never surface
@@ -161,7 +162,8 @@ class ShardedSlimIndex:
         ef = max(self.scfg.ef, k)
         d, i = _sharded_search_jit(
             self.mesh, self.arrays, jnp.asarray(q), ef=ef, k=k,
-            max_iters=self.scfg.iters(), metric=self.metric, **self.meta,
+            max_iters=self.scfg.iters(), metric=self.metric,
+            pop_width=self.scfg.pop_width, **self.meta,
         )
         return np.asarray(d)[:b], np.asarray(i)[:b]
 
@@ -208,18 +210,19 @@ class ShardedSlimIndex:
     jax.jit,
     static_argnames=(
         "mesh", "ef", "k", "max_iters", "metric", "max_level",
-        "threshold_level", "cap0", "cap",
+        "threshold_level", "cap0", "cap", "pop_width",
     ),
 )
 def _sharded_search_jit(mesh, arrays, q, *, ef, k, max_iters, metric,
-                        max_level, threshold_level, cap0, cap):
+                        max_level, threshold_level, cap0, cap,
+                        pop_width=4):
     def fn(nbr, off, ent, vecs, vn, gid, q):
         # block views: leading shard dim is 1 inside shard_map
         d, gi = _local_search(
             nbr[0], off[0], ent[0], vecs[0], vn[0], gid[0], q,
             max_level=max_level, threshold_level=threshold_level,
             cap0=cap0, cap=cap, ef=ef, k=k, max_iters=max_iters,
-            metric=metric,
+            metric=metric, pop_width=pop_width,
         )
         # merge across shards over ICI
         dg = lax.all_gather(d, "shard")  # [S, b, k]
