@@ -194,6 +194,7 @@ def knn_to_level0(
             jnp.asarray(_pad_to(np.asarray(knn_ids, np.int32), npad)),
             jnp.asarray(np.full(npad, M, np.int32)),
             M=M, keep_all_under_m=True, metric=metric, chunk=chunk,
+            keep_pruned=True,
         )
     )[:n]
 
@@ -344,6 +345,7 @@ def _subset_prune_union(vecs, vn, sub_ids, knn_rows, M, cap, metric,
         out, _ = prune_batch(
             vecs, vn, jnp.asarray(bpad), jnp.asarray(cpad),
             jnp.asarray(cpad >= 0), M=M, keep_all_under_m=True, metric=metric,
+            keep_pruned=True,
         )
         sel[ck] = np.asarray(out)[: ck.stop - ck.start]
 

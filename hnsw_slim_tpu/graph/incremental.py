@@ -126,8 +126,12 @@ class IncrementalSlim:
         from .prune import _pad, _sort_row_ids
 
         out = np.full((len(ids), cap_l), -1, np.int32)
-        for s in range(0, len(ids), self.chunk):
-            ck = slice(s, min(s + self.chunk, len(ids)))
+        # chunk scales down with row width (the prune materializes a
+        # [chunk, W, W] f32 pairwise tensor; wide hub rows would OOM HBM)
+        w = rows.shape[1]
+        cw = max(64, min(self.chunk, (self.chunk * 512 * 512) // (w * w)))
+        for s in range(0, len(ids), cw):
+            ck = slice(s, min(s + cw, len(ids)))
             cpad = _pad(rows[ck])
             sel, _ = prune_batch(
                 vectors, vn,

@@ -162,8 +162,13 @@ def convert_to_slim(
         over = np.nonzero(counts > cap_l)[0]
         if len(over):
             cand = rows[over]
-            for s in range(0, len(over), chunk):
-                ck = slice(s, min(s + chunk, len(over)))
+            # chunk scales down with row width: the prune's pairwise-distance
+            # tensor is [chunk, W, W] f32, and NND-built hubs can push W to
+            # 1024+ (8.6 GB at chunk 2048 — an HBM OOM at 1M)
+            w = cand.shape[1]
+            cw = max(64, min(chunk, (chunk * 512 * 512) // (w * w)))
+            for s in range(0, len(over), cw):
+                ck = slice(s, min(s + cw, len(over)))
                 cpad, nv = _pad(cand[ck]), ck.stop - ck.start
                 sel, _ = prune_batch(
                     vectors, vn,
@@ -353,16 +358,10 @@ def convert_to_slimzero(
             full[act] = repair_connectivity(
                 full[act], act.astype(np.int32), vectors, vn, metric
             )
-        if timing:
-            tmarks.append((f"L{l}.filt+repair", _time.perf_counter() - t0))
         final_rows.append(full)
         if verbose:
             print(f"  slimzero level {l}: thr={thr[l]} edges={(full >= 0).sum()}")
 
-    if timing:
-        print("  convert timing: " + " ".join(
-            f"{k}={v:.2f}s" for k, v in tmarks if v >= 0.05
-        ), flush=True)
     return pack_chal_arrays(
         final_rows, levels,
         entry=int(np.asarray(lg.entry)),

@@ -22,6 +22,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N, DIM, NQ = int(os.environ.get("SB_N", 1_000_000)), 128, 1024
+STRATEGY = os.environ.get("SB_STRATEGY", "nnd")  # nnd | insert
 
 
 def main():
@@ -47,19 +48,19 @@ def main():
     del bf  # frees its 512 MB device copy of base (HBM headroom for convert)
     gc.collect()
 
-    cache = f"/root/repo/.bench_cache/selfbuild_{N}.npz"
+    cache = f"/root/repo/.bench_cache/selfbuild_{N}_{STRATEGY}.npz"
     t0 = time.perf_counter()
     if os.path.exists(cache):
         h = load_hnsw(cache)
         t_build = float(open(cache + ".time").read())
-        print(f"nnd build: cached ({t_build:.1f}s original)", flush=True)
+        print(f"{STRATEGY} build: cached ({t_build:.1f}s original)", flush=True)
     else:
-        h = HnswIndex(HnswConfig(M=30, ef_construction=128), strategy="nnd")
+        h = HnswIndex(HnswConfig(M=30, ef_construction=128), strategy=STRATEGY)
         h.build(base, verbose=True)
         t_build = time.perf_counter() - t0
         save_hnsw(cache, h)
         open(cache + ".time", "w").write(str(t_build))
-        print(f"nnd build: {t_build:.1f}s", flush=True)
+        print(f"{STRATEGY} build: {t_build:.1f}s", flush=True)
 
     t0 = time.perf_counter()
     idx = HnswSlimIndex.from_hnsw(h, SlimConfig.from_ratios())
@@ -93,7 +94,7 @@ def main():
         if rec >= 0.95:
             break
     print(json.dumps({
-        "mode": "selfbuild_1m", "build_s": round(t_build, 1),
+        "mode": f"selfbuild_1m_{STRATEGY}", "build_s": round(t_build, 1),
         "convert_s": round(t_conv, 1),
         "graph_mb": round(idx.index_size() / 1e6, 1),
         "points": {str(k): list(v) for k, v in points.items()},
