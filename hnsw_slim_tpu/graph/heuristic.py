@@ -93,7 +93,14 @@ def prune_batch_guarded(
     """Batched SlimZero guarded prune. Guarded candidates are always kept
     (connectivity preserved by the in-degree floor instead of reverse-edge
     augmentation, hnswalg_slimzero.h:966-1000)."""
-    w = out_width or M
+    return _prune_batch_guarded_impl(
+        vectors, vn, base_ids, cand_ids, valid, guard, M, metric,
+        out_width or M, precision, m_per_row,
+    )
+
+
+def _prune_batch_guarded_impl(vectors, vn, base_ids, cand_ids, valid, guard,
+                              M, metric, w, precision, m_per_row):
     safe = jnp.maximum(cand_ids, 0)
     cvecs = vectors[safe].astype(jnp.float32)
     cn = vn[safe]

@@ -192,7 +192,14 @@ class IncrementalSlim:
              vectors, vn, verbose: bool = False) -> ChalGraph:
         """Initial convertFromHNSW (hnswalg_slim.h:867-1108), capturing the
         per-level state the update path needs."""
+        import os
+        import time as _time
+
         from .prune import degree_thresholds
+
+        timing = verbose or os.environ.get("SLIM_TIMING")
+        tmarks: list[tuple[str, float]] = []
+        tick = _time.perf_counter
 
         self.levels = np.asarray(levels, np.int32).copy()
         n = len(self.levels)
@@ -208,6 +215,7 @@ class IncrementalSlim:
         self.budgets, self.stage2, self.keys, self.final = [], [], [], []
 
         for l in range(self.lmax + 1):
+            t0 = tick()
             act = np.nonzero(self.levels >= l)[0]
             a = adj_np[l][act]
             deg = (a >= 0).sum(axis=1)
@@ -224,6 +232,9 @@ class IncrementalSlim:
             pruned = self._stage2_prune(
                 vectors, vn, act, a, budget_act, out_w
             )
+            if timing:
+                tmarks.append((f"L{l}.stage2", tick() - t0))
+                t0 = tick()
             s2 = np.full((n, out_w), -1, np.int32)
             s2[act] = pruned
             self.stage2.append(s2)
@@ -233,16 +244,28 @@ class IncrementalSlim:
                 np.concatenate([_keys_of(src, tgt), _keys_of(tgt, src)])
             )
             self.keys.append(keys)
+            if timing:
+                tmarks.append((f"L{l}.keys", tick() - t0))
+                t0 = tick()
 
             fin = np.full((n, self.caps[l]), -1, np.int32)
             fin[act] = self._stages45(l, act, vectors, vn)
+            if timing:
+                tmarks.append((f"L{l}.stages45", tick() - t0))
+                t0 = tick()
             if l == self.cfg.threshold_level:
                 fin[act] = self._repair(fin[act], act, vectors, vn)
+                if timing:
+                    tmarks.append((f"L{l}.repair", tick() - t0))
             self.final.append(fin)
             if verbose:
                 print(f"  inc level {l}: thr={self.thr[l]} "
                       f"edges={(fin >= 0).sum()}")
 
+        if timing:
+            print("  full timing: " + " ".join(
+                f"{k}={v:.2f}s" for k, v in tmarks if v >= 0.05
+            ), flush=True)
         return self._pack()
 
     # ---- incremental update ----------------------------------------------

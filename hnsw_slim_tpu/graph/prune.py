@@ -284,42 +284,115 @@ def convert_to_slimzero(
         else:
             budget = np.where(deg > thr[l], cfg.top_M, cfg.low_m)
             cap_l, m_rev = maxM, cfg.min_indegree
-        guard = indeg[l][np.maximum(a, 0)] <= m_rev
-
+        # Adaptive guard over sequential chunks: the reference decrements a
+        # SHARED in-degree counter on every discard, so the guard set grows
+        # during the pass and late prunes preserve nodes whose in-edges the
+        # early prunes ate (hnswalg_slimzero.h:855,884 — racy under OpenMP;
+        # here chunk-ordered and deterministic). A pure donor-snapshot guard
+        # collapses at scale: 1M measured recall 0.005 vs the reference's
+        # 0.23 on identical data — almost every in-edge is pruned before the
+        # snapshot would ever fire.
+        indeg_live = indeg[l].copy()
+        gchunk = 8192
         rows = np.full((len(act), a.shape[1]), -1, np.int32)
-        for s in range(0, len(act), chunk):
-            ck = slice(s, min(s + chunk, len(act)))
-            cpad = _pad(a[ck])
+        for s in range(0, len(act), gchunk):
+            ck = slice(s, min(s + gchunk, len(act)))
+            ack = a[ck]
+            guard_ck = indeg_live[np.maximum(ack, 0)] <= m_rev
+            cpad = _pad(ack)
             sel, _ = prune_batch_guarded(
                 vectors, vn,
                 jnp.asarray(_pad(act[ck], fill=0)),
                 jnp.asarray(cpad),
                 jnp.asarray(cpad >= 0),
-                jnp.asarray(_pad(guard[ck], fill=0).astype(bool)),
+                jnp.asarray(_pad(guard_ck.astype(np.int8), fill=0).astype(bool)),
                 M=int(a.shape[1]), metric=metric, out_width=int(a.shape[1]),
-                m_per_row=jnp.asarray(_pad(budget[ck].astype(np.int32), fill=1)),
+                m_per_row=jnp.asarray(
+                    _pad(budget[ck].astype(np.int32), fill=1)),
             )
-            rows[ck] = np.asarray(sel)[: ck.stop - ck.start]
+            out_ck = np.asarray(sel)[: ck.stop - ck.start]
+            rows[ck] = out_ck
+            # decrement live counters by this chunk's discards
+            kept_ct = np.bincount(
+                out_ck[out_ck >= 0], minlength=n
+            )
+            all_ct = np.bincount(ack[ack >= 0], minlength=n)
+            indeg_live -= all_ct - kept_ct
 
-        # repair pass: restore the closest donor in-edge of any node whose
-        # post-prune in-degree fell below the floor
+        # In-degree floor repair. The reference's PruneByHeuristic decrements
+        # SHARED in-degree counters as it prunes, so its guard set grows
+        # adaptively during the pass (hnswalg_slimzero.h:820-894, racy under
+        # OpenMP). The snapshot guard above only protects nodes already at
+        # the floor in the DONOR graph — at 1M the prune (deg ~24 -> ~5)
+        # strips in-degrees so hard that most nodes end below the floor and
+        # search collapses (measured recall 0.006). This deterministic repair
+        # restores the same invariant: for every node with post-prune
+        # in-degree < m_rev, re-add donor in-edges (from vanilla rows that
+        # contained it) until the floor or the donor supply is reached.
         post = np.bincount(
             rows.reshape(-1)[rows.reshape(-1) >= 0], minlength=n
         )
         starved = np.nonzero(
-            (post < min(m_rev, 1)) & (levels >= l)
+            (post < m_rev) & (levels >= l)
         )[0] if len(act) else []
-        # (min(m_rev,1): only fully-orphaned nodes; the snapshot guard keeps
-        # nearly all low-indegree edges already)
-        row_of = np.full(n, -1, np.int64)
-        row_of[act] = np.arange(len(act))
-        for u in starved:
-            srcs = np.nonzero((adj_np[l][act] == u).any(axis=1))[0]
-            if len(srcs):
-                r = int(srcs[0])
-                empty = np.nonzero(rows[r] < 0)[0]
-                slot = empty[0] if len(empty) else rows.shape[1] - 1
-                rows[r, slot] = u
+        if len(starved) and (adj_np[l][act] >= 0).any():
+            m2 = adj_np[l][act] >= 0
+            tgts = adj_np[l][act][m2]
+            src_rows = np.repeat(
+                np.arange(len(act)), m2.sum(axis=1)
+            ).astype(np.int64)
+            order = np.argsort(tgts, kind="stable")  # stable: lowest row 1st
+            ts, rs = tgts[order].astype(np.int64), src_rows[order]
+            lo = np.searchsorted(ts, starved)
+            hi = np.searchsorted(ts, starved, side="right")
+            # drop donors that already kept the edge (they count in post)
+            kept_keys = None
+            need = np.minimum(
+                (m_rev - post[starved]).clip(min=0), hi - lo
+            ).astype(np.int64)
+            # oversample donors by the per-node kept count, then filter
+            over_need = np.minimum(
+                need + post[starved], hi - lo
+            ).astype(np.int64)
+            total = int(over_need.sum())
+            if total:
+                off = np.concatenate([[0], np.cumsum(over_need)[:-1]])
+                flat = (np.arange(total) - np.repeat(off, over_need)
+                        + np.repeat(lo, over_need))
+                r_list = rs[flat]
+                u_list = np.repeat(starved.astype(np.int64), over_need)
+                # kept (row, tgt) pairs in the pruned rows
+                mk = rows >= 0
+                kept_keys = np.sort(
+                    np.repeat(np.arange(len(act)), mk.sum(axis=1))
+                    * np.int64(n) + rows[mk]
+                )
+                cand_keys = r_list * np.int64(n) + u_list
+                pos2 = np.searchsorted(kept_keys, cand_keys)
+                dup = np.zeros(len(cand_keys), bool)
+                inb = pos2 < len(kept_keys)
+                dup[inb] = kept_keys[pos2[inb]] == cand_keys[inb]
+                r_list, u_list = r_list[~dup], u_list[~dup]
+                # cap restores per node at its need (donors are in stable
+                # lowest-row order; the floor is a connectivity invariant,
+                # not a proximity one)
+                need_of = np.zeros(n, np.int64)
+                need_of[starved] = need
+                order_u = np.argsort(u_list, kind="stable")
+                uu, rr = u_list[order_u], r_list[order_u]
+                runstart = np.searchsorted(uu, uu)
+                rank_u = np.arange(len(uu)) - runstart
+                keep2 = rank_u < need_of[uu]
+                uu, rr = uu[keep2], rr[keep2]
+                # scatter into free slots, grouped per donor row
+                order_r = np.argsort(rr, kind="stable")
+                rr, uu = rr[order_r], uu[order_r]
+                runstart = np.searchsorted(rr, rr)
+                rank_r = np.arange(len(rr)) - runstart
+                base_cnt = (rows >= 0).sum(axis=1)
+                slot = base_cnt[rr] + rank_r
+                okslot = slot < rows.shape[1]
+                rows[rr[okslot], slot[okslot]] = uu[okslot]
 
         # cap re-prune where over (plain PruneByHeuristic, :1085-1105)
         counts = (rows >= 0).sum(axis=1)

@@ -27,6 +27,7 @@
 #include "hnswlib/hnswlib.h"
 #include "hnswlib/hnswalg_slim.h"
 #include "hnswlib/hnswalg_slimq.h"
+#include "hnswlib/hnswalg_slimzero.h"
 
 #include "rabitqlib/index/hnsw/hnsw.hpp"
 
@@ -286,6 +287,37 @@ int main(int argc, char** argv) {
   }
   printf("build_ms %.1f\n", ms_since(t0));
   printf("hnsw_index_bytes %zu\n", hnsw.indexSize());
+
+  if (mode == "slimzero") {
+    // reference SlimZero (hnsw_slimzero_strategy.h:41-48 parameters)
+    hnswlib::HierarchicalNSWSlimZero<float> sz(
+        &space, static_cast<size_t>(n), M, efc, /*threshold_level=*/0,
+        /*top_degree_percent0=*/0.02f, /*top_degree_percent=*/0.02f,
+        /*top_degree_M0=*/32, /*low_degree_m0=*/8,
+        /*top_degree_M=*/16, /*low_degree_m=*/4,
+        /*min_indegree0=*/8, /*min_indegree=*/4);
+    t0 = Clock::now();
+    sz.convertFromHNSW(&hnsw);
+    printf("convert_ms %.1f\n", ms_since(t0));
+    printf("slimzero_index_bytes %zu\n", sz.indexSize());
+    for (int ef : efs) {
+      sz.setEf(ef);
+      t0 = Clock::now();
+#pragma omp parallel for schedule(dynamic) if (threads > 1)
+      for (int i = 0; i < nq; ++i) {
+        std::vector<unsigned> out(k);
+        sz.searchKnn(queries.data() + static_cast<size_t>(i) * qdim, k,
+                     out.data());
+        for (int j = 0; j < k; ++j) results[1LL * i * k + j] = out[j];
+      }
+      printf("solve_ms_ef%d %.1f\n", ef, ms_since(t0));
+      char path[512];
+      snprintf(path, sizeof path, "%s.ef%d", out_path, ef);
+      write_ivecs(path, results, nq, k);
+    }
+    write_ivecs(out_path, results, nq, k);
+    return 0;
+  }
 
   if (mode == "slim") {
     hnswlib::HierarchicalNSWSlim<float> slim(
