@@ -18,6 +18,16 @@ kernels, same chunk shapes — only the node set shrinks. The degree-threshold
 walk (:923-945) is recomputed every update from the full histogram (cheap);
 a threshold shift re-prunes exactly the nodes whose budget flipped.
 
+One deliberate exception: connectivity-repair edges. full() runs
+repair_connectivity at the threshold level (the NND build path needs it) and
+records the edges it added; update() re-applies those recorded edges to any
+recomputed row (stage 4/5 rebuilds rows from the union, which never contained
+them), so bridges survive arbitrarily many update batches. When full()'s
+repair was a no-op (insertion-built bases) the recorded set is empty and the
+identical-to-full contract holds exactly; otherwise update() preserves the
+ORIGINAL bridges rather than re-deriving them (set repair_updates=True to
+re-run the components pass per batch instead).
+
 Union edges are kept as one sorted int64 key array per level,
 key = src << 31 | tgt; a directed key exists iff either direction is a
 stage-2 edge — matching the unique(src,tgt ∪ tgt,src) of the full pass.
@@ -41,6 +51,13 @@ def _row_edges(rows: np.ndarray, ids: np.ndarray):
     """(src, tgt) arrays over valid entries of rows (ids aligned)."""
     m = rows >= 0
     return np.repeat(ids, m.sum(axis=1)), rows[m]
+
+
+def _added_keys(pre: np.ndarray, post: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Directed (src, tgt) keys present in `post` rows but not `pre` rows."""
+    s1, t1 = _row_edges(post, ids)
+    s0, t0 = _row_edges(pre, ids)
+    return np.setdiff1d(_keys_of(s1, t1), _keys_of(s0, t0))
 
 
 def _sorted_merge(keys: np.ndarray, add: np.ndarray, rem: np.ndarray):
@@ -90,6 +107,9 @@ class IncrementalSlim:
         self.lmax = 0
         self.caps: list[int] = []
         self.out_ws: list[int] = []
+        # directed (src, tgt) keys repair_connectivity added at the threshold
+        # level; re-applied to recomputed rows so bridges survive updates
+        self.repair_keys = np.zeros(0, np.int64)
 
     # ---- shared kernels ------------------------------------------------
 
@@ -254,7 +274,9 @@ class IncrementalSlim:
                 tmarks.append((f"L{l}.stages45", tick() - t0))
                 t0 = tick()
             if l == self.cfg.threshold_level:
+                pre = fin[act].copy()
                 fin[act] = self._repair(fin[act], act, vectors, vn)
+                self.repair_keys = _added_keys(pre, fin[act], act)
                 if timing:
                     tmarks.append((f"L{l}.repair", tick() - t0))
             self.final.append(fin)
@@ -389,7 +411,18 @@ class IncrementalSlim:
 
             tmarks.append((f"L{l}.keys", tick() - t0))
             t0 = tick()
-            a_all = np.unique(np.concatenate([c2, affected_src, lvl_extra]))
+            # repair-edge bookkeeping: drop bridges with a deactivated
+            # endpoint (their src rows must be rebuilt to shed the stale id)
+            rep_extra = np.zeros(0, np.int64)
+            if l == self.cfg.threshold_level and len(self.repair_keys):
+                rs = (self.repair_keys >> _SHIFT).astype(np.int64)
+                rt = (self.repair_keys & ((np.int64(1) << _SHIFT) - 1)).astype(np.int64)
+                alive = act_mask[rs] & act_mask[rt]
+                rep_extra = np.unique(rs[~alive])
+                self.repair_keys = self.repair_keys[alive]
+            a_all = np.unique(
+                np.concatenate([c2, affected_src, lvl_extra, rep_extra])
+            )
             a_ids = a_all[act_mask[a_all]]
             deact = a_all[~act_mask[a_all]]
             changed_l = []
@@ -404,6 +437,21 @@ class IncrementalSlim:
                 )
                 continue
             new_final = self._stages45(l, a_ids, vectors, vn)
+            if l == self.cfg.threshold_level and len(self.repair_keys):
+                # stage 4/5 rebuilt these rows from the union, which never
+                # contained the repair bridges — re-apply them (ADVICE r2)
+                rs = (self.repair_keys >> _SHIFT).astype(np.int64)
+                rt = (self.repair_keys & ((np.int64(1) << _SHIFT) - 1)).astype(np.int64)
+                lookup = np.full(n, -1, np.int64)
+                lookup[a_ids] = np.arange(len(a_ids))
+                li = lookup[rs]
+                hit = li >= 0
+                for i, t in zip(li[hit], rt[hit]):  # bridges are few
+                    row = new_final[i]
+                    if t in row:
+                        continue
+                    empty = np.nonzero(row < 0)[0]
+                    row[empty[0] if len(empty) else -1] = t
             prev = self.final[l][a_ids]
             w = max(prev.shape[1], new_final.shape[1])
             changed_rows = (
@@ -423,6 +471,10 @@ class IncrementalSlim:
                     self.final[l][act], act, vectors, vn
                 )
                 rep_changed = (repaired != self.final[l][act]).any(axis=1)
+                self.repair_keys = np.union1d(
+                    self.repair_keys,
+                    _added_keys(self.final[l][act], repaired, act),
+                )
                 self.final[l][act] = repaired
                 changed_l.append(act[rep_changed])
                 tmarks.append((f"L{l}.repair", tick() - t0))

@@ -234,7 +234,16 @@ class HnswIndex:
             adj_dev.append(
                 a_dev.at[jnp.asarray(upd_pad)].set(jnp.asarray(a[upd_pad]))
             )
-        # fresh levels for reused slots (getRandomLevel per insert)
+        # fresh levels for reused slots (getRandomLevel per insert).
+        # Intentional deviation from the reference replace path (which accepts
+        # any sampled level): levels are clamped to the current max_level so a
+        # reused slot never raises the graph's top level / becomes enterpoint.
+        # Growing a new top level would reallocate every per-level adjacency
+        # array (a fresh compiled scatter program per growth); the clamp hits
+        # with probability ~1/32 per replaced point x P(level > lmax) — at
+        # lmax >= 3 that is < 1e-4 of replacements, with no measurable recall
+        # effect (upper levels only accelerate descent; the entrypoint still
+        # covers the graph).
         old_levels = levels_arr[slots].copy()
         levels_arr[slots] = sample_levels(
             len(slots), self.cfg.mult, self.cfg.seed + int(slots[0])

@@ -66,12 +66,12 @@ def compute_diff(old: ChalGraph, new: ChalGraph) -> tuple[list[int], list[int]]:
     content changed. Fully vectorized (the per-node memcmp loop of the
     reference would be a Python loop here)."""
     o, n = to_np(old), to_np(new)
-    prev_count = old.n  # logical count (the serving graph may be node-padded)
-    changed = o["level"] != n["level"][:prev_count]
+    prev_count = old.n  # logical count (either graph may be node-padded)
+    changed = o["level"][:prev_count] != n["level"][:prev_count]
     lmax = min(old.max_level, new.max_level)
     for l in range(lmax + 1):
         width = max(
-            int(np.diff(o["lvl_off"][:, l : l + 2], axis=1).max(initial=1)),
+            int(np.diff(o["lvl_off"][:prev_count, l : l + 2], axis=1).max(initial=1)),
             int(np.diff(n["lvl_off"][:prev_count, l : l + 2], axis=1).max(initial=1)),
             1,
         )
@@ -79,7 +79,7 @@ def compute_diff(old: ChalGraph, new: ChalGraph) -> tuple[list[int], list[int]]:
         b = _level_rows(n, l, prev_count, width)
         changed |= (a != b).any(axis=1)
     changed_old = np.nonzero(changed)[0].tolist()
-    changed_new = list(range(prev_count, len(n["level"])))
+    changed_new = list(range(prev_count, new.n))
     return changed_old, changed_new
 
 

@@ -184,8 +184,10 @@ class SlimServer:
                 self.labels = np.concatenate(
                     [self.labels, new_labels[n_reuse:]]
                 )
-                self.deleted = np.resize(self.deleted, self.hnsw.graph.n)
-                self.deleted[-(len(new_vectors) - n_reuse):] = False
+                self.deleted = np.concatenate([
+                    self.deleted,
+                    np.zeros(self.hnsw.graph.n - len(self.deleted), bool),
+                ])
             self.next_label = max(
                 self.next_label, int(new_labels.max(initial=0)) + 1
             )

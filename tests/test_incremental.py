@@ -93,6 +93,50 @@ def test_update_matches_full_reconvert(base_setup):
         assert len(changed) >= 120
 
 
+def test_update_preserves_repair_bridges():
+    """Repair edges added by full() must survive update() even when the
+    touched set includes the bridge endpoints (ADVICE r2: stage 4/5 rebuilds
+    rows from the union, which never contained the bridges)."""
+    from hnsw_slim_tpu.graph.build import _components
+
+    rng = np.random.default_rng(11)
+    half, dim = 150, 8
+    n = 2 * half
+    base = np.concatenate([
+        rng.standard_normal((half, dim)),
+        rng.standard_normal((half, dim)) + 100.0,  # far-away island
+    ]).astype(np.float32)
+    # vanilla adjacency: 6-NN strictly within each cluster -> two components
+    import jax.numpy as jnp
+
+    from hnsw_slim_tpu.ops import distance
+
+    vecs = jnp.asarray(base)
+    vn = distance.sq_norms(vecs)
+    rows = np.full((n, 12), -1, np.int32)
+    for s in (slice(0, half), slice(half, n)):
+        d = np.array(distance.pairwise_dist(vecs[s], vecs[s], "l2"))
+        np.fill_diagonal(d, np.inf)
+        rows[s, :6] = np.argsort(d, axis=1)[:, :6] + s.start
+    levels = np.zeros(n, np.int32)
+
+    scfg = SlimConfig(top_M0=10, low_m0=4, top_M=6, low_m=3)
+    inc = IncrementalSlim(scfg, metric="l2")
+    g = inc.full([rows], levels, 0, vecs, vn)
+    assert len(inc.repair_keys) > 0, "repair should have bridged the island"
+
+    def n_components(graph):
+        c = to_np(graph)
+        r = _level_rows(c, 0, graph.n, graph.cap0)
+        return len(np.unique(_components(r)))
+
+    assert n_components(g) == 1
+    # touch every bridge endpoint (worst case: all bridge rows recomputed)
+    srcs = np.unique(inc.repair_keys >> np.int64(31))
+    g2, changed = inc.update([rows], levels, 0, vecs, vn, touched=srcs)
+    assert n_components(g2) == 1, "update dropped the repair bridges"
+
+
 def test_update_after_replace(base_setup):
     idx0, cfg, rng = base_setup
     idx = HnswIndex(cfg, strategy="insert", max_batch=512)
