@@ -33,12 +33,13 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
 
 def _local_search(nbr, lvl_off, entry, vecs, vn, gids, q, *, max_level,
                   threshold_level, cap0, cap, ef, k, max_iters, metric,
-                  pop_width):
+                  pop_width, stages=(), scan_width=0, dense0=None):
     d, i, _, _ = gs.chal_search(
         nbr, lvl_off, entry, vecs, vn, q,
         max_level=max_level, threshold_level=threshold_level, cap0=cap0,
         cap=cap, ef=ef, k=k, max_iters=max_iters, metric=metric,
         precision=jax.lax.Precision.HIGHEST, pop_width=pop_width,
+        stages=stages, scan_width=scan_width, dense0=dense0,
     )
     gi = jnp.where(i >= 0, gids[jnp.maximum(i, 0)], -1)
     d = jnp.where(gi >= 0, d, jnp.inf)  # padded nodes never surface
@@ -152,6 +153,27 @@ class ShardedSlimIndex:
             cap0=g0.cap0, cap=g0.cap,
         )
 
+    def densify_level0(self) -> int:
+        """Stacked dense level-0 rows [S, n_per, cap0] (same +QPS lever as
+        HnswSlimIndex.densify_level0, applied per shard)."""
+        nbr = np.asarray(self.arrays["nbr"])
+        off = np.asarray(self.arrays["off"])
+        s, n_per = off.shape[:2]
+        cap0 = self.meta["cap0"]
+        rows = np.full((s, n_per, cap0), -1, np.int32)
+        for i in range(s):
+            start = off[i, :, 0].astype(np.int64)
+            end = off[i, :, 1].astype(np.int64)
+            idx = start[:, None] + np.arange(cap0)[None, :]
+            valid = idx < end[:, None]
+            rows[i] = np.where(
+                valid, nbr[i][np.minimum(idx, nbr.shape[1] - 1)], -1
+            )
+        self.arrays["dense0"] = jax.device_put(
+            rows, NamedSharding(self.mesh, P("shard"))
+        )
+        return int(rows.nbytes)
+
     def search(self, queries: np.ndarray, k: int):
         q = np.asarray(queries, np.float32)
         b = q.shape[0]
@@ -160,10 +182,15 @@ class ShardedSlimIndex:
         if bpad != b:
             q = np.concatenate([q, np.repeat(q[:1], bpad - b, 0)])
         ef = max(self.scfg.ef, k)
+        b_loc = bpad // dp  # per-device batch inside shard_map
+        stages = tuple(
+            b_loc // f for f in self.scfg.straggler_stages if b_loc // f >= 32
+        )
         d, i = _sharded_search_jit(
             self.mesh, self.arrays, jnp.asarray(q), ef=ef, k=k,
             max_iters=self.scfg.iters(), metric=self.metric,
-            pop_width=self.scfg.pop_width, **self.meta,
+            pop_width=self.scfg.pop_width, stages=stages,
+            scan_width=self.scfg.scan_width, **self.meta,
         )
         return np.asarray(d)[:b], np.asarray(i)[:b]
 
@@ -210,19 +237,24 @@ class ShardedSlimIndex:
     jax.jit,
     static_argnames=(
         "mesh", "ef", "k", "max_iters", "metric", "max_level",
-        "threshold_level", "cap0", "cap", "pop_width",
+        "threshold_level", "cap0", "cap", "pop_width", "stages",
+        "scan_width",
     ),
 )
 def _sharded_search_jit(mesh, arrays, q, *, ef, k, max_iters, metric,
                         max_level, threshold_level, cap0, cap,
-                        pop_width=4):
-    def fn(nbr, off, ent, vecs, vn, gid, q):
+                        pop_width=4, stages=(), scan_width=0):
+    has_dense0 = "dense0" in arrays
+
+    def fn(nbr, off, ent, vecs, vn, gid, q, *rest):
         # block views: leading shard dim is 1 inside shard_map
         d, gi = _local_search(
             nbr[0], off[0], ent[0], vecs[0], vn[0], gid[0], q,
             max_level=max_level, threshold_level=threshold_level,
             cap0=cap0, cap=cap, ef=ef, k=k, max_iters=max_iters,
-            metric=metric, pop_width=pop_width,
+            metric=metric, pop_width=pop_width, stages=stages,
+            scan_width=scan_width,
+            dense0=rest[0][0] if has_dense0 else None,
         )
         # merge across shards over ICI
         dg = lax.all_gather(d, "shard")  # [S, b, k]
@@ -234,15 +266,19 @@ def _sharded_search_jit(mesh, arrays, q, *, ef, k, max_iters, metric,
         sd, si = lax.sort((cat_d, cat_i), dimension=1, num_keys=1)
         return sd[:, :k], si[:, :k]
 
+    extra = (P("shard"),) if has_dense0 else ()
     mapped = jax.shard_map(
         fn,
         mesh=mesh,
         in_specs=(
             P("shard"), P("shard"), P("shard"), P("shard"), P("shard"),
             P("shard"), P("dp", None),
-        ),
+        ) + extra,
         out_specs=(P("dp", None), P("dp", None)),
         check_vma=False,
     )
     a = arrays
-    return mapped(a["nbr"], a["off"], a["ent"], a["vecs"], a["vn"], a["gid"], q)
+    args = (a["nbr"], a["off"], a["ent"], a["vecs"], a["vn"], a["gid"], q)
+    if has_dense0:
+        args += (a["dense0"],)
+    return mapped(*args)

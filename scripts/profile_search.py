@@ -26,8 +26,12 @@ def main():
     from hnsw_slim_tpu.graph.import_ref import slim_index_from_ref
     from hnsw_slim_tpu.utils.data import clustered
 
+    import os as _os
     N, DIM, B = 1_000_000, 128, 1024
-    EF, POP, ITERS = 64, 4, 44
+    EF = int(_os.environ.get("PS_EF", 64))
+    POP = int(_os.environ.get("PS_POP", 4))
+    ITERS = int(_os.environ.get("PS_ITERS", 44))
+    CW_ENV = int(_os.environ.get("PS_CW", 0))
     base, queries = clustered(N, DIM, n_queries=B, n_clusters=N // 1000, seed=7)
     g = "/root/repo/.bench_cache/ref_1000000_128_1024_v2.slimgraph"
     if not os.path.exists(g):
@@ -40,7 +44,7 @@ def main():
     q = jnp.asarray(queries)
     qn = jnp.sum(q * q, axis=1)
 
-    cw = max(2 * EF, 128)
+    cw = CW_ENV or max(2 * EF, 128)
     print(f"cap0={W} pop={POP} cw={cw} iters={ITERS}", flush=True)
 
     def mk(level):
