@@ -119,6 +119,58 @@ def _build_search(
 greedy_level = gs.greedy_level
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_level", "efc", "max_iters", "metric", "pop_width", "stages",
+        "scan_width",
+    ),
+)
+def _build_search0(
+    adjs: tuple,
+    entry: jnp.ndarray,
+    vectors: jnp.ndarray,
+    vn: jnp.ndarray,
+    q: jnp.ndarray,
+    active: jnp.ndarray,
+    *,
+    max_level: int,
+    efc: int,
+    max_iters: int,
+    metric: str,
+    pop_width: int,
+    stages: tuple,
+    scan_width: int,
+):
+    """Candidate discovery for LEVEL-0-ONLY inserts (97% of a batch at
+    p=1/32): greedy descent through every upper level, one straggler-staged
+    multi-pop beam at the base layer. Splitting these out of _build_search
+    lets the base beam use the tuned serving kernel and keeps the (rare)
+    upper-level nodes in their own small program — the full-batch lockstep
+    previously paid every upper level's beam iterations for all 4096 rows.
+    Returns (d f32[B, efc], ids i32[B, efc])."""
+    precision = jax.lax.Precision.HIGHEST
+    b = q.shape[0]
+    qn = distance.sq_norms(q)
+    cur = jnp.broadcast_to(entry.astype(jnp.int32), (b,))
+    curdist = distance.gathered_dist(
+        q, vectors[cur][:, None, :], metric, qn=qn, vn=vn[cur][:, None],
+        precision=precision,
+    )[:, 0]
+    for l in range(max_level, 0, -1):
+        cur, curdist = greedy_level(
+            gs.make_dense_fetch(adjs[l]), vectors, vn, q, qn, cur, curdist,
+            active, metric, precision,
+        )
+    state = gs.beam_init(cur, curdist, efc)
+    state, _, _ = gs.beam_level_staged(
+        gs.make_dense_fetch(adjs[0]), vectors, q, qn, state, active, efc,
+        max_iters, metric, precision, pop_width, None, stages,
+        scan_width=scan_width,
+    )
+    return state.buf_d, state.buf_id
+
+
 @functools.partial(jax.jit, static_argnames=("w_union",))
 def mutual_union(sel: jnp.ndarray, d_sel: jnp.ndarray, *, w_union: int):
     """Symmetrize pruned forward edges and keep each node's w_union nearest.
@@ -479,10 +531,17 @@ class HnswBuilder:
     """
 
     def __init__(self, cfg: HnswConfig, max_batch: int = 4096,
-                 pad_batch: int | None = None):
+                 pad_batch: int | None = None, pop_width: int = 8,
+                 stages_frac: tuple = (4, 16), scan_width: int = 0):
         self.cfg = cfg
         self.max_batch = max_batch
         self.pad_batch = pad_batch or max_batch
+        # build-search kernel knobs for the level-0 beam (same levers as the
+        # serving path: multi-pop + straggler compaction; measured on the
+        # serve kernel, straggler compaction alone is worth ~6x at 1M)
+        self.pop_width = pop_width
+        self.stages_frac = stages_frac
+        self.scan_width = scan_width
         # vanilla rows written by insert batches (inserted nodes + their
         # reverse-connect targets): the incremental re-prune working set
         self.touched: list[np.ndarray] = []
@@ -560,21 +619,42 @@ class HnswBuilder:
         ids_pad = _pad_to(ids.astype(np.int32), self.pad_batch, fill=int(ids[-1]))
         lp_pad = _pad_to(lp_eff, self.pad_batch, fill=-1)  # padded queries never beam
         q = vecs[jnp.asarray(ids_pad)]
+        entry_dev = jnp.asarray(np.int32(entry))
 
-        cand_d, cand_i = _build_search(
-            tuple(adj_dev),
-            jnp.asarray(np.int32(entry)),
-            vecs,
-            vn,
-            q,
-            jnp.asarray(lp_pad),
-            max_level=lmax,
-            efc=cfg.ef_construction,
-            max_iters=2 * cfg.ef_construction + 64,
-            metric=cfg.metric,
+        # route: level-0-only inserts (~97% at p=1/32) take the tuned staged
+        # beam; the rare upper-level nodes run the full per-level program in
+        # their own pow2-bucketed small batch (the full-batch lockstep used
+        # to pay every upper level's beam iterations across all 4096 rows)
+        up = np.nonzero(lp_eff >= 1)[0]
+        stages = tuple(
+            self.pad_batch // f for f in self.stages_frac
+            if self.pad_batch // f >= 32
         )
+        _, i0 = _build_search0(
+            tuple(adj_dev), entry_dev, vecs, vn, q,
+            jnp.asarray(lp_pad == 0),
+            max_level=lmax, efc=cfg.ef_construction,
+            max_iters=2 * cfg.ef_construction + 64, metric=cfg.metric,
+            pop_width=self.pop_width, stages=stages,
+            scan_width=self.scan_width,
+        )
+        i0_np = np.asarray(i0)[:b]  # one 2 MB D2H (dists are never used)
+        pos_in_up = np.full(b, -1)
+        cand_up_np = None
+        if len(up):
+            bup = _next_pow2(max(len(up), 32))
+            q_up = vecs[jnp.asarray(
+                _pad_to(ids[up].astype(np.int32), bup, fill=int(ids[up][0]))
+            )]
+            _, ci_up = _build_search(
+                tuple(adj_dev), entry_dev, vecs, vn, q_up,
+                jnp.asarray(_pad_to(lp_eff[up], bup, fill=-1)),
+                max_level=lmax, efc=cfg.ef_construction,
+                max_iters=2 * cfg.ef_construction + 64, metric=cfg.metric,
+            )
+            cand_up_np = np.asarray(ci_up)  # [lmax+1, bup, efc]
+            pos_in_up[up] = np.arange(len(up))
 
-        cand_i_np = np.asarray(cand_i)  # one D2H for all levels
         if timing:
             marks.append(("search", _time.perf_counter() - t0))
         touched: list[np.ndarray] = []
@@ -587,7 +667,13 @@ class HnswBuilder:
             aidx = np.nonzero(active)[0]
             a_ids = ids[aidx]
             cap_l = cfg.maxM0 if l == 0 else cfg.maxM
-            ci_np = cand_i_np[l][aidx]
+            if l == 0:
+                ci_np = i0_np.copy()
+                if len(up):
+                    ci_np[up] = cand_up_np[0][pos_in_up[up]]
+                ci_np = ci_np[aidx]
+            else:
+                ci_np = cand_up_np[l][pos_in_up[aidx]]
             if l == 0:  # whole batch: one compiled shape
                 na = len(a_ids)
                 ci_pad = _pad_to(ci_np, self.pad_batch)

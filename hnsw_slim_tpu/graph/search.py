@@ -394,13 +394,25 @@ def beam_level_scored(
             rd, ri = lax.sort((fc_d, fc_i), dimension=1, num_keys=1)
             ftr = FilterTrack(rd[:, :ef], ri[:, :ef])
 
-        # merge via one multi-operand sort (payload gathers are slow on TPU)
-        cat_d = jnp.concatenate([buf_d, d], axis=1)
-        cat_i = jnp.concatenate([buf_id, jnp.where(cand, cand_sorted, -1)], axis=1)
-        cat_c = jnp.concatenate([buf_chk, jnp.zeros_like(cand_sorted)], axis=1)
-        sd, si, sc = lax.sort((cat_d, cat_i, cat_c), dimension=1, num_keys=1)
-
-        new_st = BeamState(sd[:, :ef], si[:, :ef], sc[:, :ef])
+        # merge: bitonic network when the buffer is a wide power of two
+        # (measured 1.4-2.2x over lax.sort at merge width >= 384+cw on v5e,
+        # scripts/exp_merge.py), else one multi-operand sort (payload
+        # gathers are slow on TPU either way)
+        cand_id_col = jnp.where(cand, cand_sorted, -1)
+        if ef >= 256 and (ef & (ef - 1)) == 0 and d.shape[1] <= ef:
+            new_st = merge_sorted(
+                BeamState(buf_d, buf_id, buf_chk), d, cand_id_col
+            )
+        else:
+            cat_d = jnp.concatenate([buf_d, d], axis=1)
+            cat_i = jnp.concatenate([buf_id, cand_id_col], axis=1)
+            cat_c = jnp.concatenate(
+                [buf_chk, jnp.zeros_like(cand_sorted)], axis=1
+            )
+            sd, si, sc = lax.sort(
+                (cat_d, cat_i, cat_c), dimension=1, num_keys=1
+            )
+            new_st = BeamState(sd[:, :ef], si[:, :ef], sc[:, :ef])
         return new_st, qdone, iters + 1, hops, dcomp, pstate, ftr
 
     zero = jnp.zeros((b,), jnp.int32)
@@ -606,6 +618,12 @@ def chal_search(
     `stages`: straggler-compaction sub-batch sizes for the base-layer beam
     (see beam_level_staged); () = single lockstep loop.
     Returns (dists f32[B, k], ids i32[B, k]) sorted ascending."""
+    if ef >= 256 and (ef & (ef - 1)) and ef_eff is None:
+        # round the physical buffer up to a power of two so the merge runs
+        # on the bitonic network (merge_sorted); ef_eff keeps the pop window
+        # and termination bound at the requested ef — semantics unchanged
+        ef_eff = jnp.int32(ef)
+        ef = 1 << (ef - 1).bit_length()
     b = q.shape[0]
     qn = distance.sq_norms(q)
     cur = jnp.broadcast_to(entry.astype(jnp.int32), (b,))

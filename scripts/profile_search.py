@@ -68,12 +68,17 @@ def main():
               if level == 0:
                   return (buf_d, buf_id, buf_chk, acc + jnp.sum(ids)), None
               dup = jnp.any(ids[:, :, None] == buf_id[:, None, :], axis=2)
+              if level == 1:  # dup-check only
+                  return (buf_d, buf_id, buf_chk,
+                          acc + jnp.sum(dup.astype(jnp.int32))), None
               cand_ids = jnp.where((ids >= 0) & ~dup, ids, jnp.int32(2**30))
               cand_sorted = lax.sort(cand_ids, dimension=1)[:, :cw]
               cand = cand_sorted < 2**30
               safe = jnp.where(cand, cand_sorted, 0)
+              if level == 2:  # + compaction sort
+                  return (buf_d, buf_id, buf_chk, acc + jnp.sum(safe)), None
               vecs = vectors[safe]
-              if level == 1:
+              if level == 3:  # + vector row gather
                   return (buf_d, buf_id, buf_chk,
                           acc + jnp.sum(vecs[:, :, 0].astype(jnp.int32))), None
               d = (qn[:, None] + jnp.sum(vecs * vecs, -1)
@@ -81,7 +86,7 @@ def main():
                                       preferred_element_type=jnp.float32,
                                       precision=lax.Precision.HIGHEST))
               d = jnp.where(cand, d, jnp.inf)
-              if level == 2:
+              if level == 4:  # + score
                   return (buf_d, buf_id, buf_chk,
                           acc + jnp.sum(jnp.min(d, 1).astype(jnp.int32))), None
               cat_d = jnp.concatenate([buf_d, d], axis=1)
@@ -108,9 +113,9 @@ def main():
 
     seed_id = np.random.default_rng(0).integers(0, N, B).astype(np.int32)
     seed_d = np.zeros(B, np.float32)
-    names = ["fetch", "fetch+gather", "fetch+gather+score", "full-body"]
+    names = ["fetch", "+dup", "+csort", "+vgather", "+score", "full-body"]
     prev = 0.0
-    for lvl in range(4):
+    for lvl in range(6):
         run = mk(lvl)
         out = run(dense0, vectors, q, qn, seed_id, seed_d)
         out.block_until_ready()

@@ -114,3 +114,41 @@ def test_greedy_descent_moves_to_local_min():
         dv = ((qn_[i] - base[v]) ** 2).sum()
         dn = ((qn_[i] - base[adj[v]]) ** 2).sum(-1)
         assert dv <= dn.min() + 1e-5
+
+
+def test_merge_sorted_matches_full_sort():
+    """Bitonic merge_sorted == lax.sort merge (the high-ef fast path)."""
+    from jax import lax
+
+    rng = np.random.default_rng(0)
+    B, P_BUF, CW = 5, 256, 64
+    buf_d = np.sort(rng.random((B, P_BUF)).astype(np.float32), axis=1)
+    buf_d[:, P_BUF - 40:] = np.inf
+    buf_id = rng.integers(0, 10**6, (B, P_BUF)).astype(np.int32)
+    buf_id[np.isinf(buf_d)] = -1
+    buf_chk = rng.integers(0, 2, (B, P_BUF)).astype(np.int32)
+    buf_chk[np.isinf(buf_d)] = 0
+    cand_d = rng.random((B, CW)).astype(np.float32)
+    inv = rng.random((B, CW)) < 0.3
+    cand_d[inv] = np.inf
+    cand_id = rng.integers(0, 10**6, (B, CW)).astype(np.int32)
+    cand_id[inv] = -1
+
+    out = gs.merge_sorted(
+        gs.BeamState(jnp.asarray(buf_d), jnp.asarray(buf_id),
+                     jnp.asarray(buf_chk)),
+        jnp.asarray(cand_d), jnp.asarray(cand_id),
+    )
+    cat_d = np.concatenate([buf_d, cand_d], axis=1)
+    cat_i = np.concatenate([buf_id, cand_id], axis=1)
+    cat_c = np.concatenate([buf_chk, np.zeros_like(cand_id)], axis=1)
+    sd, si, sc = lax.sort(
+        (jnp.asarray(cat_d), jnp.asarray(cat_i), jnp.asarray(cat_c)),
+        dimension=1, num_keys=1,
+    )
+    np.testing.assert_array_equal(np.asarray(out.buf_d),
+                                  np.asarray(sd)[:, :P_BUF])
+    np.testing.assert_array_equal(np.asarray(out.buf_id),
+                                  np.asarray(si)[:, :P_BUF])
+    np.testing.assert_array_equal(np.asarray(out.buf_chk),
+                                  np.asarray(sc)[:, :P_BUF])
