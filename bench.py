@@ -176,16 +176,13 @@ def main():
     tpu_points = []
     stats_at = {}
     import dataclasses
+    idx.scfg = dataclasses.replace(idx.scfg, straggler_stages=(4, 16))
     for ef in EFS:
-        # per-ef tuned kernel knobs (scripts/tune_095.py sweep on this graph):
-        # straggler compaction always on; wide multi-pop + tight scan lanes
-        # pay off once the buffer sort dominates (ef >= 128)
-        idx.scfg = dataclasses.replace(
-            idx.scfg,
-            straggler_stages=(4, 16),
-            pop_width=8 if ef <= 96 else 16,
-            scan_width=0 if ef <= 96 else 96,
-        )
+        # per-graph serve-time calibration (replaces the r2 hand-tuned per-ef
+        # knob table, which was overfit to this graph and non-monotone in ef)
+        tune = idx.autotune(ef)
+        log(f"autotune ef={ef}: {tune['knobs']} "
+            f"probe_recall={tune['probe_recall']:.4f}")
         idx.set_ef(ef)
         _, ids = idx.search(queries, k=10)  # compile + warm
         dt = min(_timed(idx.search, queries) for _ in range(3))

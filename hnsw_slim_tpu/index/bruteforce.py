@@ -79,3 +79,49 @@ class BruteForceIndex:
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk", "n_valid"))
+def exact_topk(x, xn, q, k: int, metric: str = "l2", chunk: int = 131072,
+               n_valid: int = 0):
+    """Exact top-k against an ALREADY-ON-DEVICE vector table (no H2D copy,
+    unlike BruteForceIndex which owns a padded device copy). Full chunks run
+    in a fori_loop; the remainder is one static-shape tail pass. n_valid > 0
+    masks trailing padded rows (node-padded serving graphs carry level -1
+    padding whose zero vectors must not enter the result).
+    Returns (dists f32[B, k], ids i32[B, k])."""
+    n = x.shape[0]
+    nv = n_valid or n
+    chunk = min(chunk, n)
+    qn = distance.sq_norms(q)
+
+    def merge(state, d, ids):
+        best_d, best_i = state
+        d = jnp.where(ids < nv, d, jnp.inf)
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate([best_i, ids], axis=1)
+        neg_top, arg = jax.lax.top_k(-cat_d, k)
+        return -neg_top, jnp.take_along_axis(cat_i, arg, axis=1)
+
+    def body(c, state):
+        xs = jax.lax.dynamic_slice_in_dim(x, c * chunk, chunk, axis=0)
+        xns = jax.lax.dynamic_slice_in_dim(xn, c * chunk, chunk, axis=0)
+        d = distance.pairwise_dist(q, xs, metric, qn=qn, xn=xns)
+        ids = c * chunk + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        return merge(state, d, ids)
+
+    init = (
+        jnp.full((q.shape[0], k), jnp.inf, jnp.float32),
+        jnp.full((q.shape[0], k), -1, jnp.int32),
+    )
+    out = jax.lax.fori_loop(0, n // chunk, body, init)
+    if n % chunk:
+        tail = x[(n // chunk) * chunk:]
+        d = distance.pairwise_dist(
+            q, tail, metric, qn=qn, xn=xn[(n // chunk) * chunk:]
+        )
+        ids = (n // chunk) * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, d.shape, 1
+        )
+        out = merge(out, d, ids)
+    return out

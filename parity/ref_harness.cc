@@ -315,6 +315,12 @@ int main(int argc, char** argv) {
       snprintf(path, sizeof path, "%s.ef%d", out_path, ef);
       write_ivecs(path, results, nq, k);
     }
+    if (dump_path) {
+      dump_slim_graph(sz, dump_path);
+      std::string hp = std::string(dump_path) + ".hnsw";
+      dump_hnsw_graph(hnsw, hp.c_str());
+      printf("dumped %s\n", dump_path);
+    }
     write_ivecs(out_path, results, nq, k);
     return 0;
   }

@@ -32,8 +32,18 @@ def main():
     BATCH = int(os.environ.get("UPD_BATCH", 1000))
     TRIALS = int(os.environ.get("UPD_TRIALS", 3))
     g = f"/root/repo/.bench_cache/ref_{N}_128_1024_v3.slimgraph.hnsw"
-    base, extra = clustered(N + TRIALS * BATCH, DIM, n_queries=0,
-                            n_clusters=max(64, N // 1000), seed=7, scale=0.3)
+    # base MUST be byte-identical to bench.py's stream (the reference graph
+    # was built on it): clustered(n) with a different n shifts the rng stream
+    # and yields entirely different points — drawing N+TRIALS*BATCH here once
+    # poisoned the npz cache (vectors from the wrong dataset paired with the
+    # reference graph; recall 0.006 downstream). Update batches come from an
+    # independent seed instead.
+    base, _ = clustered(N, DIM, n_queries=0,
+                        n_clusters=max(64, N // 1000), seed=7, scale=0.3)
+    extra_base, _ = clustered(TRIALS * BATCH, DIM, n_queries=0,
+                              n_clusters=max(64, N // 1000), seed=1007,
+                              scale=0.3)
+    base = np.concatenate([base, extra_base])
     t0 = time.perf_counter()
     npz = g + ".npz"  # parsed-import cache (the binary parse costs ~17 min)
     if os.path.exists(npz):

@@ -73,12 +73,10 @@ def main():
         idx.densify_level0()
 
     points = {}
+    idx.scfg = dataclasses.replace(idx.scfg, straggler_stages=(4, 16))
     for ef in (64, 96, 128, 192, 256, 384):
-        idx.scfg = dataclasses.replace(
-            idx.scfg, ef=ef, straggler_stages=(4, 16),
-            pop_width=8 if ef <= 96 else 16,
-            scan_width=0 if ef <= 96 else 96,
-        )
+        tune = idx.autotune(ef)
+        print(f"  autotune ef={ef}: {tune['knobs']}", flush=True)
         _, ids = idx.search(queries, k=10)  # compile + warm
         times = [0.0] * 3
         for i in range(3):

@@ -116,12 +116,11 @@ def main():
         results = {}
         import dataclasses
 
-        # NOTE: keep pop_width=8 / scan_width=0 at every ef here — the 1M
-        # bench's high-ef knobs (pop 16 / scan 96) drop recall 0.999->0.78
-        # on the union graph (8 shard replicas per query overflow the
-        # scan-width cap; measured 2026-08-17)
         for ef in (32, 64, 96, 128):
-            uni.scfg = dataclasses.replace(uni.scfg, ef=ef)
+            # serve-time calibration on THIS graph (the 1M bench's hand
+            # knobs dropped union recall 0.999->0.78 before autotune)
+            tune = uni.autotune(ef)
+            print(f"  autotune ef={ef}: {tune['knobs']}", flush=True)
             _, ids = uni.search(queries, k=10)  # compile + warm
             times = []
             for _ in range(3):

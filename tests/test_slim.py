@@ -194,3 +194,48 @@ def test_densify_level0_same_results():
     assert extra == 2000 * slim.graph.cap0 * 4
     _, dense_ids = slim.search(queries, k=10)
     np.testing.assert_array_equal(dense_ids, chal_ids)
+
+
+def test_autotune_calibrates_knobs():
+    """autotune_index must (a) never pick knobs below the lossless config's
+    probe recall minus slack, (b) cache per (ef, k), (c) leave scfg set to
+    the winning knobs, (d) honor gids remapping for union-style indexes."""
+    base, queries, hnsw = _build_pair(n=3000)
+    slim = HnswSlimIndex.from_hnsw(hnsw, SlimConfig.from_ratios())
+
+    rep = slim.autotune(128)
+    assert set(rep["knobs"]) == {"pop_width", "scan_width"}
+    assert slim.scfg.pop_width == rep["knobs"]["pop_width"]
+    assert slim.scfg.ef == 128
+    # lossless config (pop 8, scan 0) is in the grid; the winner's probe
+    # recall is within slack of the best observed
+    grid = {(g["pop_width"], g["scan_width"]): g["recall"] for g in rep["grid"]}
+    assert (8, 0) in grid
+    win = grid[(rep["knobs"]["pop_width"], rep["knobs"]["scan_width"])]
+    assert win >= rep["probe_recall"] - 0.002 - 1e-9
+
+    # cached: second call returns the same object without re-sweeping
+    assert slim.autotune(128) is rep
+
+    # calibrated search still hits real-query recall
+    bf = BruteForceIndex(base, chunk=1024)
+    _, gt = bf.search(queries, k=10)
+    _, ids = slim.search(queries, k=10)
+    hits = sum(len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt))
+    assert hits / gt.size >= 0.9
+
+
+def test_exact_topk_matches_bruteforce():
+    from hnsw_slim_tpu.index.bruteforce import exact_topk
+
+    base, queries, hnsw = _build_pair(n=2500)
+    slim = HnswSlimIndex.from_hnsw(hnsw, SlimConfig.from_ratios())
+    bf = BruteForceIndex(base, chunk=1024)
+    _, gt = bf.search(queries, k=10)
+    _, ids = exact_topk(slim.vectors, slim.vn, queries, k=10,
+                        metric="l2", chunk=1024, n_valid=slim.graph.n)
+    # padded rows (graph.n..pad) must never appear
+    assert int(np.asarray(ids).max()) < slim.graph.n
+    agree = sum(len(set(a.tolist()) & set(b.tolist()))
+                for a, b in zip(np.asarray(ids), np.asarray(gt)))
+    assert agree / gt.size >= 0.999
