@@ -519,3 +519,292 @@ class IncrementalSlim:
         # it directly instead of pulling the device arrays back (D2H of
         # ~100 MB/update at 1M through the device tunnel)
         return graph
+
+
+class IncrementalSlimZero:
+    """Stateful SlimZero conversion: full() once, then update(touched).
+
+    TPU-native counterpart of convertFromHNSWWithDiff
+    (hnswalg_slimzero.h:1590-1660). Like the reference — whose shared
+    in-degree counters carry across calls — the incremental pass re-prunes
+    touched rows against the LIVE in-degrees of the CURRENT serving graph,
+    so the result is invariant-equivalent (floor + cap + hierarchy hold
+    after every update) rather than byte-identical to a fresh full pass.
+    Floor starvation introduced by a delta is repaired by re-adding donor
+    in-edges exactly as the full pass does (graph/prune.py floor repair).
+    """
+
+    def __init__(self, cfg: SlimConfig, metric: str = "l2",
+                 count_level0_hubs: bool = False, chunk: int = 2048):
+        self.cfg = cfg
+        self.metric = metric
+        self.count_level0_hubs = count_level0_hubs
+        self.chunk = chunk
+        self.final: list[np.ndarray] = []
+        self.budgets: list[np.ndarray] = []
+        self.thr: np.ndarray | None = None
+        self.levels: np.ndarray | None = None
+        self.entry = 0
+        self.lmax = 0
+        self.caps: list[int] = []
+
+    # ---- full conversion -------------------------------------------------
+
+    def full(self, adj_np: list[np.ndarray], levels: np.ndarray, entry: int,
+             vectors, vn, verbose: bool = False) -> ChalGraph:
+        from .types import LevelGraph
+        from .prune import convert_to_slimzero
+
+        import jax.numpy as jnp
+
+        lg = LevelGraph(
+            adjs=[jnp.asarray(a) for a in adj_np],
+            level=jnp.asarray(levels),
+            entry=jnp.asarray(entry),
+            max_level=len(adj_np) - 1,
+        )
+        st: dict = {}
+        graph = convert_to_slimzero(
+            lg, vectors, vn, self.cfg, metric=self.metric,
+            count_level0_hubs=self.count_level0_hubs, chunk=self.chunk,
+            verbose=verbose, state=st,
+        )
+        self.final = st["final"]
+        self.budgets = st["budgets"]
+        self.thr = st["thr"]
+        self.levels = np.asarray(levels, np.int32).copy()
+        self.entry = int(entry)
+        self.lmax = st["lmax"]
+        self.caps = st["caps"]
+        # re-pack through _pack so host_chal exists for the patch path
+        return self._pack()
+
+    # ---- incremental update ----------------------------------------------
+
+    def update(self, adj_np: list[np.ndarray], levels: np.ndarray, entry: int,
+               vectors, vn, touched: np.ndarray,
+               level_changed: np.ndarray | None = None,
+               verbose: bool = False) -> tuple[ChalGraph, np.ndarray]:
+        """Re-prune after `touched` vanilla rows changed. Returns
+        (graph, changed_node_ids) — ids whose final CHAL content differs
+        (the patch membership set)."""
+        import jax.numpy as jnp
+
+        from .heuristic import prune_batch_guarded
+        from .prune import _pad, _sort_row_ids, degree_thresholds
+
+        n_old = len(self.levels)
+        levels = np.asarray(levels, np.int32)
+        n = len(levels)
+        self.entry = int(entry)
+        lmax_new = len(adj_np) - 1
+        if lmax_new > self.lmax:
+            for l in range(self.lmax + 1, lmax_new + 1):
+                self.caps.append(adj_np[l].shape[1])
+                self.final.append(
+                    np.full((n_old, self.caps[l]), -1, np.int32))
+                self.budgets.append(np.zeros(n_old, np.int32))
+            self.lmax = lmax_new
+        if n > n_old:
+            self.final = [
+                np.concatenate(
+                    [f, np.full((n - n_old, f.shape[1]), -1, np.int32)])
+                for f in self.final
+            ]
+            self.budgets = [
+                np.concatenate([b, np.zeros(n - n_old, np.int32)])
+                for b in self.budgets
+            ]
+        self.levels = levels.copy()
+
+        touched = np.unique(np.asarray(touched, np.int64))
+        maxM0 = adj_np[0].shape[1]
+        self.thr = degree_thresholds(
+            adj_np, levels, maxM0, self.cfg, self.count_level0_hubs
+        )
+        changed_all: list[np.ndarray] = []
+
+        for l in range(self.lmax + 1):
+            act_mask = levels >= l
+            hi, lo = (
+                (self.cfg.top_M0, self.cfg.low_m0) if l == 0
+                else (self.cfg.top_M, self.cfg.low_m)
+            )
+            m_rev = (self.cfg.min_indegree0 if l == 0
+                     else self.cfg.min_indegree)
+            cap_l = self.caps[l]
+            deg_all = (adj_np[l] >= 0).sum(axis=1)
+            budgets_new = np.where(
+                act_mask, np.where(deg_all > self.thr[l], hi, lo), 0
+            ).astype(np.int32)
+
+            r_mask = np.zeros(n, bool)
+            r_mask[touched] = True
+            r_mask |= budgets_new != self.budgets[l]
+            if level_changed is not None and len(level_changed):
+                r_mask[np.asarray(level_changed, np.int64)] = True
+            r_all = np.nonzero(r_mask)[0]
+            self.budgets[l] = budgets_new
+
+            changed_l: list[np.ndarray] = []
+            deact = r_all[~act_mask[r_all]]
+            if len(deact):
+                had = (self.final[l][deact] >= 0).any(axis=1)
+                self.final[l][deact] = -1
+                changed_l.append(deact[had])
+            r = r_all[act_mask[r_all]]
+            if len(r) == 0:
+                changed_all.append(
+                    np.concatenate(changed_l) if changed_l
+                    else np.zeros(0, np.int64)
+                )
+                continue
+
+            fin = self.final[l]
+            live = np.bincount(
+                fin.reshape(-1)[fin.reshape(-1) >= 0], minlength=n
+            )
+            old_rows = fin[r].copy()
+            a_r = adj_np[l][r]
+            guard = live[np.maximum(a_r, 0)] <= m_rev
+            w_in = a_r.shape[1]
+            rows = np.full((len(r), w_in), -1, np.int32)
+            for s in range(0, len(r), self.chunk):
+                ck = slice(s, min(s + self.chunk, len(r)))
+                cpad = _pad(a_r[ck])
+                sel, _ = prune_batch_guarded(
+                    vectors, vn,
+                    jnp.asarray(_pad(r[ck], fill=0)),
+                    jnp.asarray(cpad),
+                    jnp.asarray(cpad >= 0),
+                    jnp.asarray(
+                        _pad(guard[ck].astype(np.int8), fill=0).astype(bool)),
+                    M=w_in, metric=self.metric, out_width=w_in,
+                    m_per_row=jnp.asarray(
+                        _pad(budgets_new[r[ck]], fill=1)),
+                )
+                rows[ck] = np.asarray(sel)[: ck.stop - ck.start]
+
+            # cap + hierarchical filter on the recomputed rows
+            rows = self._cap_filter(l, r, rows, vectors, vn, cap_l, levels)
+            diff = (old_rows != rows).any(axis=1)
+            self.final[l][r] = rows
+            changed_l.append(r[diff])
+
+            # delta in-degree -> floor repair (graph/prune.py invariant:
+            # active nodes keep in-degree >= m_rev where donors exist). At
+            # non-threshold levels only exactly-level-l nodes can survive
+            # the hierarchy filter in a donor row, so only those repair.
+            live2 = live.copy()
+            for arr, sign in ((old_rows, -1), (rows, +1)):
+                v = arr.reshape(-1)
+                v = v[v >= 0]
+                if len(v):
+                    live2 += sign * np.bincount(v, minlength=n)
+            s_mask = (live2 < m_rev) & act_mask
+            if l != self.cfg.threshold_level:
+                s_mask &= levels == l
+            starved = np.nonzero(s_mask)[0]
+            if len(starved):
+                changed_l.append(
+                    self._floor_repair(l, starved, live2, adj_np[l],
+                                       act_mask, m_rev))
+            changed_all.append(np.unique(np.concatenate(changed_l)))
+            if verbose:
+                print(f"  zinc-upd level {l}: r={len(r)} "
+                      f"changed={int(diff.sum())} starved={len(starved)}")
+
+        changed = np.unique(np.concatenate(changed_all)) if changed_all else \
+            np.zeros(0, np.int64)
+        return self._pack(), changed
+
+    # ---- helpers -----------------------------------------------------------
+
+    def _cap_filter(self, l, ids, rows, vectors, vn, cap_l, levels):
+        """Cap re-prune + hierarchical level filter (full-pass stages on the
+        recomputed subset)."""
+        import jax.numpy as jnp
+
+        from .heuristic import prune_batch
+        from .prune import _pad, _sort_row_ids
+
+        counts = (rows >= 0).sum(axis=1)
+        out = np.full((len(ids), cap_l), -1, np.int32)
+        under = counts <= cap_l
+        w = min(cap_l, rows.shape[1])
+        out[under, :w] = _sort_row_ids(rows[under])[:, :w]
+        over = np.nonzero(~under)[0]
+        if len(over):
+            for s in range(0, len(over), self.chunk):
+                ck = slice(s, min(s + self.chunk, len(over)))
+                cpad = _pad(rows[over][ck])
+                sel, _ = prune_batch(
+                    vectors, vn,
+                    jnp.asarray(_pad(ids[over][ck], fill=0)),
+                    jnp.asarray(cpad),
+                    jnp.asarray(cpad >= 0),
+                    M=cap_l, keep_all_under_m=False, metric=self.metric,
+                    out_width=cap_l,
+                )
+                out[over[ck]] = _sort_row_ids(
+                    np.asarray(sel)[: ck.stop - ck.start]
+                )
+        if l != self.cfg.threshold_level:
+            keep = (out >= 0) & (levels[np.maximum(out, 0)] == l)
+            out = _sort_row_ids(np.where(keep, out, -1))
+        return out
+
+    def _floor_repair(self, l, starved, live, adj_l, act_mask,
+                      m_rev) -> np.ndarray:
+        """Re-add donor in-edges for nodes whose in-degree fell below the
+        floor; donors = vanilla rows containing the starved node (stable
+        lowest-id order, free slots only). Returns modified donor ids."""
+        fin = self.final[l]
+        act = np.nonzero(act_mask)[0]
+        a = adj_l[act]
+        # restrict the donor scan to rows that mention a starved node
+        # (np.isin over the level's edges; starved sets are tiny)
+        hit = np.isin(a, starved) & (a >= 0)
+        rsel = np.nonzero(hit.any(axis=1))[0]
+        a, hit = a[rsel], hit[rsel]
+        tgts = a[hit].astype(np.int64)
+        srcs = np.repeat(act[rsel], hit.sum(axis=1)).astype(np.int64)
+        order = np.argsort(tgts, kind="stable")
+        ts, rs = tgts[order], srcs[order]
+        modified: list[int] = []
+        for u in starved:
+            lo = np.searchsorted(ts, u)
+            hi = np.searchsorted(ts, u, side="right")
+            need = int(m_rev - live[u])
+            for d in rs[lo:hi]:
+                if need <= 0:
+                    break
+                row = fin[d]
+                if (row == u).any():
+                    continue
+                free = np.nonzero(row < 0)[0]
+                if not len(free):
+                    continue
+                row[free[0]] = u
+                fin[d] = np.sort(np.where(row < 0, np.iinfo(np.int32).max,
+                                          row))
+                fin[d][fin[d] == np.iinfo(np.int32).max] = -1
+                live[u] += 1
+                need -= 1
+                modified.append(int(d))
+        return np.asarray(sorted(set(modified)), np.int64)
+
+    def _pack(self) -> ChalGraph:
+        from .prune import pack_chal_arrays
+
+        out = pack_chal_arrays(
+            self.final, self.levels,
+            entry=self.entry,
+            max_level=self.lmax,
+            threshold_level=self.cfg.threshold_level,
+            cap0=self.caps[0],
+            cap=self.caps[1] if self.lmax >= 1 else self.caps[0] // 2,
+            return_host=True,
+        )
+        graph, self.host_chal = out
+        return graph

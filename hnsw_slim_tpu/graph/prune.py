@@ -249,6 +249,7 @@ def convert_to_slimzero(
     count_level0_hubs: bool = False,
     chunk: int = 2048,
     verbose: bool = False,
+    state: dict | None = None,
 ) -> ChalGraph:
     """SlimZero conversion (hnswalg_slimzero.h convertFromHNSW :940-1150):
     same hub/low budgets, but NO reverse-edge union — connectivity is
@@ -260,6 +261,11 @@ def convert_to_slimzero(
     uses a snapshot of donor in-degrees, then one repair iteration restores
     the nearest in-edge of any node whose post-prune in-degree fell below
     the floor. Same invariant, deterministic result.
+
+    `state`, if given, captures the per-level conversion state the
+    incremental diff path (IncrementalSlimZero, counterpart of
+    convertFromHNSWWithDiff hnswalg_slimzero.h:1590-1660) needs:
+    final rows, budgets, thresholds.
     """
     from .heuristic import prune_batch_guarded
 
@@ -432,9 +438,20 @@ def convert_to_slimzero(
                 full[act], act.astype(np.int32), vectors, vn, metric
             )
         final_rows.append(full)
+        if state is not None:
+            b_full = np.zeros(n, np.int32)
+            b_full[act] = budget
+            state.setdefault("budgets", []).append(b_full)
         if verbose:
             print(f"  slimzero level {l}: thr={thr[l]} edges={(full >= 0).sum()}")
 
+    if state is not None:
+        state["final"] = final_rows
+        state["thr"] = thr
+        state["caps"] = [maxM0] + [maxM] * lmax
+        state["levels"] = levels.copy()
+        state["entry"] = int(np.asarray(lg.entry))
+        state["lmax"] = lmax
     return pack_chal_arrays(
         final_rows, levels,
         entry=int(np.asarray(lg.entry)),

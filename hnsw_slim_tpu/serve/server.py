@@ -75,8 +75,9 @@ class SlimServer:
         host: str = "0.0.0.0",
         port: int = 8080,
         patch_chunk_bytes: int = 200 * 1024 * 1024,  # hnsw_slim_server_patch.cc:154
-        serve_index: str = "slim",  # "slim" (hnsw_slim_server.cc) or
-        # "hnsw" (hnsw_server.cc — serve the unpruned graph directly)
+        serve_index: str = "slim",  # "slim" (hnsw_slim_server.cc),
+        # "hnsw" (hnsw_server.cc — serve the unpruned graph directly), or
+        # "slimzero" (in-degree-guarded conversion, hnswalg_slimzero.h)
     ):
         self.hnsw_cfg = hnsw_cfg or HnswConfig()
         self.slim_cfg = slim_cfg or SlimConfig.from_ratios()
@@ -91,10 +92,14 @@ class SlimServer:
             self.hnsw.build(np.asarray(base_vectors, np.float32))
         # stateful conversion: /updateIndex re-prunes only touched nodes
         # (the reference re-runs convertFromHNSWWithDiff over the whole
-        # graph, hnswalg_slim.h:1110-1424 — same output, less work)
-        from ..graph.incremental import IncrementalSlim
+        # graph, hnswalg_slim.h:1110-1424 — same output, less work).
+        # serve_index="slimzero" swaps in the in-degree-guarded converter
+        # (hnswalg_slimzero.h:1590-1660 WithDiff counterpart).
+        from ..graph.incremental import IncrementalSlim, IncrementalSlimZero
 
-        self.inc = IncrementalSlim(self.slim_cfg, metric=self.hnsw.cfg.metric)
+        inc_cls = (IncrementalSlimZero if serve_index == "slimzero"
+                   else IncrementalSlim)
+        self.inc = inc_cls(self.slim_cfg, metric=self.hnsw.cfg.metric)
         chal = self.inc.full(
             self.hnsw.host_adj(), np.asarray(self.hnsw.levels),
             int(np.asarray(self.hnsw.graph.entry)),
