@@ -545,6 +545,8 @@ class HnswBuilder:
         # vanilla rows written by insert batches (inserted nodes + their
         # reverse-connect targets): the incremental re-prune working set
         self.touched: list[np.ndarray] = []
+        # cumulative per-phase seconds across all batches (SLIM_TIMING)
+        self.phase_s: dict = {}
 
     def touched_ids(self) -> np.ndarray:
         return (np.unique(np.concatenate(self.touched))
@@ -596,6 +598,13 @@ class HnswBuilder:
             done += bsz
             if verbose and done % 65536 < bsz:
                 print(f"  built {done}/{n}")
+        import os as _os
+
+        if self.phase_s and (verbose or _os.environ.get("SLIM_TIMING")):
+            print("  build phase totals: " + " ".join(
+                f"{k}={v:.1f}s" for k, v in sorted(
+                    self.phase_s.items(), key=lambda kv: -kv[1])
+            ), flush=True)
         return entry, cur_maxlevel
 
     def _batch_size(self, cur: int) -> int:
@@ -611,7 +620,7 @@ class HnswBuilder:
 
         timing = os.environ.get("SLIM_TIMING")
         marks = []
-        t0 = _time.perf_counter()
+        t0 = t_batch = _time.perf_counter()
         cfg = self.cfg
         b = len(ids)
         lp = levels[ids].astype(np.int32)
@@ -726,6 +735,11 @@ class HnswBuilder:
             print("    insert_batch: " + " ".join(
                 f"{k}={v:.2f}s" for k, v in marks if v >= 0.05
             ), flush=True)
+            marks.append(("wall", _time.perf_counter() - t_batch))
+            for k, v in marks:
+                # collapse per-level labels: L3.fwd -> fwd
+                key = k.split(".", 1)[-1]
+                self.phase_s[key] = self.phase_s.get(key, 0.0) + v
         return (np.unique(np.concatenate(touched)).astype(np.int64)
                 if touched else np.zeros(0, np.int64))
 

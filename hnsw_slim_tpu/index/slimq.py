@@ -146,6 +146,8 @@ class HnswSlimQIndex:
         quant_cfg: QuantConfig | None = None,
         keep_dataset: bool = True,
         verbose: bool = False,
+        strategy: str = "nnd",
+        max_batch: int = 4096,
     ) -> "HnswSlimQIndex":
         hnsw_cfg = hnsw_cfg or HnswConfig()
         slim_cfg = slim_cfg or SlimConfig.from_ratios()
@@ -158,7 +160,7 @@ class HnswSlimQIndex:
             vectors, k=quant_cfg.num_clusters, iters=quant_cfg.kmeans_iters
         )
         # graph from RAW distances, pruned exactly like Slim
-        hnsw = HnswIndex(hnsw_cfg)
+        hnsw = HnswIndex(hnsw_cfg, strategy=strategy, max_batch=max_batch)
         hnsw.build(vectors, verbose=verbose)
         idx.graph = convert_to_slim(
             hnsw.graph, hnsw.vectors, hnsw.vn, slim_cfg,

@@ -16,7 +16,9 @@ base). Two modes:
                  overhead measurement (result parity vs the flat union).
 
 Usage:
-  PYTHONPATH=/root/repo:/root/.axon_site python scripts/serve_8m.py [tpu|mesh]
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/serve_8m.py [tpu|bf16|mesh]
+(bf16 = tpu mode with store_dtype="bfloat16": measures the recall delta and
+HBM/QPS of the halved vector store — the Table-7 100M-recipe arithmetic.)
 Results recorded in README.md.
 """
 
@@ -98,7 +100,7 @@ def main():
     del base
     gc.collect()
 
-    if mode == "tpu":
+    if mode in ("tpu", "bf16"):
         from hnsw_slim_tpu.parallel.flat_union import FlatUnionIndex
 
         t0 = time.time()
@@ -106,6 +108,7 @@ def main():
             shards, search_cfg=SearchConfig(
                 ef=64, straggler_stages=(4, 16), pop_width=8
             ),
+            store_dtype="bfloat16" if mode == "bf16" else "float32",
         )
         for idx, _ in shards:  # free per-shard device copies
             idx.vectors = idx.vn = idx.graph = None
@@ -133,7 +136,7 @@ def main():
             print(f"tpu union ef={ef}: recall@10={r:.4f} qps={qps:.0f}",
                   flush=True)
         print(json.dumps({
-            "mode": "tpu_union_8m", "hbm_gb": uni.hbm_bytes() / 1e9,
+            "mode": f"union_8m_{mode}", "hbm_gb": uni.hbm_bytes() / 1e9,
             "graph_mb": uni.index_size() / 1e6,
             "points": {str(e): [round(r, 4), round(q)]
                        for e, (r, q) in results.items()},
@@ -146,7 +149,9 @@ def main():
         devs = np.array(jax.devices("cpu")[:8]).reshape(8, 1)
         mesh = Mesh(devs, ("shard", "dp"))
         idx = ShardedSlimIndex.from_indexes(
-            mesh, shards, search_cfg=SearchConfig(ef=64)
+            mesh, shards, search_cfg=SearchConfig(
+                ef=64, straggler_stages=(4, 16), pop_width=8
+            )
         )
         nq = 128
         _, ids = idx.search(queries[:nq], k=10)  # compile + warm
