@@ -54,6 +54,21 @@ def _pad_to(a: np.ndarray, size: int, fill: int = -1) -> np.ndarray:
     return np.concatenate([a, pad])
 
 
+def _ladder_chunks(n: int, ladder: tuple):
+    """Split [0, n) into (slice, padded_size) pieces whose padded sizes come
+    from `ladder` (ascending): the compiled-shape count stays at len(ladder)
+    while the dispatch count stays near 1 (each eager op chain over the
+    device tunnel costs ~50-100 ms of latency regardless of payload)."""
+    out = []
+    s = 0
+    while s < n:
+        rem = n - s
+        size = next((x for x in ladder if x >= rem), ladder[-1])
+        out.append((slice(s, min(s + size, n)), size))
+        s += size
+    return out
+
+
 def sample_levels(n: int, mult: float, seed: int, cap: int = 12) -> np.ndarray:
     """Geometric level sampling (hnswalg.h:1285 getRandomLevel)."""
     rng = np.random.default_rng(seed)
@@ -560,10 +575,21 @@ class HnswBuilder:
         lmax = int(levels.max(initial=0))
         caps = [cfg.maxM0] + [cfg.maxM] * lmax
 
+        import os as _os
+        import time as _time
+
+        t_setup = _time.perf_counter()
         vecs = jnp.asarray(np.asarray(vectors, np.float32))
         vn = distance.sq_norms(vecs)
         adj_np = [np.full((n, caps[l]), -1, np.int32) for l in range(lmax + 1)]
-        adj_dev = [jnp.asarray(a) for a in adj_np]
+        # allocate the device mirror on device (jnp.full) — uploading the
+        # host -1 arrays cost 57 s of the 1M build's setup phase
+        adj_dev = [
+            jnp.full((n, caps[l]), -1, jnp.int32) for l in range(lmax + 1)
+        ]
+        if _os.environ.get("SLIM_TIMING"):
+            jax.block_until_ready(adj_dev[0])
+            self.phase_s["setup"] = _time.perf_counter() - t_setup
 
         entry = 0
         cur_maxlevel = int(levels[0])
@@ -572,6 +598,9 @@ class HnswBuilder:
             start, n, levels, entry, cur_maxlevel, vecs, vn, adj_np, adj_dev,
             lmax, verbose,
         )
+        # testing handle: the device mirror must track adj_np exactly (the
+        # sparse column scatter writes deltas only); dropped with the builder
+        self._adj_dev = adj_dev
 
         return LevelGraph(
             adjs=tuple(jnp.asarray(a) for a in adj_np),
@@ -582,6 +611,10 @@ class HnswBuilder:
 
     def _insert_range(self, start, n, levels, entry, cur_maxlevel, vecs, vn,
                       adj_np, adj_dev, lmax, verbose):
+        import os as _os
+        import time as _time
+
+        timing = _os.environ.get("SLIM_TIMING")
         done = start
         while done < n:
             bsz = min(self._batch_size(done), n - done)
@@ -589,13 +622,21 @@ class HnswBuilder:
             self.touched.append(self._insert_batch(
                 ids, levels, entry, cur_maxlevel, vecs, vn, adj_np, adj_dev, lmax
             ))
+            if timing:
+                t_out = _time.perf_counter()
             # entry-point update (hnswalg.h:1369-1374): each insert whose level
             # exceeds the running max becomes the new enterpoint, in order.
-            for p in ids:
-                if levels[p] > cur_maxlevel:
-                    cur_maxlevel = int(levels[p])
-                    entry = int(p)
+            hi = np.nonzero(levels[ids] > cur_maxlevel)[0]
+            for j in hi:  # rare: P(level>0) ~ 1/32, strictly increasing runs
+                if levels[ids[j]] > cur_maxlevel:
+                    cur_maxlevel = int(levels[ids[j]])
+                    entry = int(ids[j])
             done += bsz
+            if timing:
+                self.phase_s["outer"] = (
+                    self.phase_s.get("outer", 0.0)
+                    + _time.perf_counter() - t_out
+                )
             if verbose and done % 65536 < bsz:
                 print(f"  built {done}/{n}")
         import os as _os
@@ -706,7 +747,7 @@ class HnswBuilder:
                 t0 = _time.perf_counter()
 
             # reverse targets live in the pre-batch graph, disjoint from a_ids
-            rev_targets, rev_rows = self._reverse_connect(
+            rev_targets, rev_rows, fit_plan, of_idx = self._reverse_connect(
                 l, a_ids, sel, adj_np[l], cap_l, vecs, vn
             )
             if timing:
@@ -715,22 +756,68 @@ class HnswBuilder:
 
             upd_ids = np.concatenate([a_ids, rev_targets]).astype(np.int32)
             upd_rows = np.concatenate([fwd_rows, rev_rows], axis=0)
-            adj_np[l][upd_ids] = upd_rows
-            # pad the scatter to a pow2 bucket: a fresh length each call
-            # would compile a fresh program (seconds on the remote compiler);
-            # duplicate rows in a scatter are benign (same value written)
-            cap = _next_pow2(len(upd_ids))
-            ids_pad2 = _pad_to(upd_ids, cap, fill=int(upd_ids[0]))
-            rows_pad2 = np.broadcast_to(
-                upd_rows[0], (cap, upd_rows.shape[1])
-            ).copy()
-            rows_pad2[: len(upd_ids)] = upd_rows
-            adj_dev[l] = adj_dev[l].at[jnp.asarray(ids_pad2)].set(
-                jnp.asarray(rows_pad2)
+            adj_np[l][upd_ids] = upd_rows  # host mirror: full rows, cheap
+            # Device scatter in CONSTANT-shape chunks. Every fresh shape
+            # compiles a fresh program (seconds on the remote compiler; a
+            # cached dispatch is ~1 ms, scripts/exp_scatter.py) and
+            # data-dependent pow2 buckets churned through dozens of variants
+            # across a 1M build — the 200-800 s "scatter" phases were almost
+            # entirely compiles. Two fixed programs per level width:
+            #   full rows  (inserted nodes + overflow/big-append targets)
+            #   compact fit (append <= FIT_K edges: gather -> dense
+            #   compare-combine -> row scatter; element-wise `.at[r, c].set`
+            #   serializes on TPU and ran at ~7 s/batch)
+            full_ids = np.concatenate(
+                [a_ids.astype(np.int32), rev_targets[of_idx]]
             )
+            full_rows = np.concatenate([fwd_rows, rev_rows[of_idx]], axis=0)
+            # bucket LADDER, not fixed chunks: shapes must be few (a fresh
+            # shape = seconds of remote compile) but dispatches must be few
+            # too (each eager op chain costs ~50-100 ms of tunnel latency —
+            # 50 x 2048-row chunks ran at ~4 s/batch where one 131072-row
+            # call measures 25 ms, scripts/exp_scatter.py)
+            a = adj_dev[l]
+            for ck, size in _ladder_chunks(len(full_ids), (2048, 16384,
+                                                           131072)):
+                ids_pad2 = _pad_to(
+                    full_ids[ck], size, fill=int(full_ids[ck.start])
+                )
+                rows_pad2 = np.broadcast_to(
+                    full_rows[ck.start], (size, full_rows.shape[1])
+                ).copy()
+                rows_pad2[: ck.stop - ck.start] = full_rows[ck]
+                a = a.at[jnp.asarray(ids_pad2)].set(jnp.asarray(rows_pad2))
+            if fit_plan is not None:
+                fit_ids, fit_cols, fit_vals = fit_plan
+                col_iota = jnp.arange(cap_l)[None, None, :]
+                for ck, size in _ladder_chunks(len(fit_ids), (8192, 131072)):
+                    # pad by duplicating row 0 so the duplicated id writes
+                    # identical content (duplicate scatters are then benign)
+                    fi = _pad_to(
+                        fit_ids[ck], size, fill=int(fit_ids[ck.start])
+                    )
+                    fc = np.broadcast_to(
+                        fit_cols[ck.start], (size, fit_cols.shape[1])
+                    ).copy()
+                    fc[: ck.stop - ck.start] = fit_cols[ck]
+                    fv = np.broadcast_to(
+                        fit_vals[ck.start], (size, fit_vals.shape[1])
+                    ).copy()
+                    fv[: ck.stop - ck.start] = fit_vals[ck]
+                    fi_d = jnp.asarray(fi)
+                    cur = a[fi_d]  # [F, cap_l] row gather
+                    hitc = jnp.asarray(fc)[:, :, None] == col_iota
+                    upd = jnp.max(
+                        jnp.where(hitc, jnp.asarray(fv)[:, :, None], -1),
+                        axis=1,
+                    )
+                    a = a.at[fi_d].set(jnp.where(upd >= 0, upd, cur))
+            adj_dev[l] = a
             touched.append(upd_ids)
             if timing:
                 marks.append((f"L{l}.scatter", _time.perf_counter() - t0))
+        out = (np.unique(np.concatenate(touched)).astype(np.int64)
+               if touched else np.zeros(0, np.int64))
         if timing:
             print("    insert_batch: " + " ".join(
                 f"{k}={v:.2f}s" for k, v in marks if v >= 0.05
@@ -740,19 +827,25 @@ class HnswBuilder:
                 # collapse per-level labels: L3.fwd -> fwd
                 key = k.split(".", 1)[-1]
                 self.phase_s[key] = self.phase_s.get(key, 0.0) + v
-        return (np.unique(np.concatenate(touched)).astype(np.int64)
-                if touched else np.zeros(0, np.int64))
+        return out
 
     def _reverse_connect(self, l, a_ids, sel, adj_l, cap_l, vecs, vn):
         """Reverse edges u->p for each forward edge p->u (hnswalg.h:618-687):
         append while the target row has room, else heuristic-prune
-        {existing ∪ new} down to the level cap."""
+        {existing ∪ new} down to the level cap.
+
+        Returns (uniq, out_rows, fit_plan, ship) where fit_plan is None or
+        (fit_ids, fit_cols[:, FIT_K], fit_vals[:, FIT_K]): targets appending
+        <= FIT_K edges, shipped as a constant-width compact update; `ship`
+        indexes the rows (overflow + big appends) that go as full rows."""
         cfg = self.cfg
         mask = sel >= 0
         pairs_u = sel[mask]
         pairs_p = np.repeat(a_ids, mask.sum(axis=1))
         if len(pairs_u) == 0:
-            return np.zeros((0,), np.int32), np.zeros((0, cap_l), np.int32)
+            return (np.zeros((0,), np.int32),
+                    np.zeros((0, cap_l), np.int32), None,
+                    np.zeros((0,), np.int64))
 
         order = np.argsort(pairs_u, kind="stable")
         us, ps = pairs_u[order], pairs_p[order]
@@ -768,18 +861,56 @@ class HnswBuilder:
         total = ne + counts
         out_rows = existing.copy()
 
+        # fit = append-only AND few new edges: ships as a compact fixed-width
+        # (col, val) update. The width is a CONSTANT 8 so the device program
+        # compiles once — every fresh (rows, kmax) pair costs seconds on the
+        # remote compiler, and data-dependent pow2 buckets churned through
+        # dozens of variants across a 1M build (the 200-800 s "scatter"
+        # phases were almost entirely compiles; a cached-program dispatch is
+        # ~1 ms, scripts/exp_scatter.py). Targets appending >8 edges simply
+        # take the overflow path (same result: a full-row write).
+        FIT_K = 8
         fits = total <= cap_l
         pair_fits = fits[row]
         r, c = row[pair_fits], col[pair_fits]
         out_rows[r, ne[r] + c] = newmat[r, c]
 
+        # fitting rows appending > FIT_K edges keep append semantics but
+        # ship as full rows (rare hub events; constant compact width wins)
+        fidx = np.nonzero(fits & (counts <= FIT_K))[0]
+        fit_plan = None
+        if len(fidx):
+            fit_cols = np.full((len(fidx), FIT_K), cap_l, np.int32)  # OOB
+            fit_vals = np.full((len(fidx), FIT_K), -1, np.int32)
+            inv = np.full(len(uniq), -1)
+            inv[fidx] = np.arange(len(fidx))
+            rf, cf = inv[r], c
+            sub = rf >= 0  # pairs of compact-update rows only
+            fit_cols[rf[sub], cf[sub]] = (ne[r][sub] + cf[sub]).astype(np.int32)
+            fit_vals[rf[sub], cf[sub]] = newmat[r, c][sub]
+            fit_plan = (uniq[fidx].astype(np.int32), fit_cols, fit_vals)
+
         of = np.nonzero(~fits)[0]
         if len(of):
-            cand = np.concatenate([existing[of], newmat[of]], axis=1)
-            for s in range(0, len(of), 1024):
-                ck = slice(s, min(s + 1024, len(of)))
-                cpad, _ = _pad_rows(cand[ck])
-                upad, _ = _pad_rows(uniq[of][ck], fill=0)
+            # canonical prune shapes: ladder row sizes, candidate width
+            # always cap_l + 64 — a fresh shape costs ~3 s on the remote
+            # compiler and the variable (pow2(|of| tail), cap_l + max_new)
+            # pair used to generate dozens of variants across a 1M build
+            # (the 8-10 s rev spikes in the r3 selfbuild log)
+            w_new = min(max_new, 64)
+            newpad = np.full((len(of), 64), -1, np.int32)
+            # targets with >64 new reverse edges keep the first 64 in
+            # arrival order (the reference's sequential appends behave
+            # comparably; >64 is a rare hub event at cap_l=64)
+            newpad[:, :w_new] = newmat[of, :w_new]
+            cand = np.concatenate([existing[of], newpad], axis=1)
+            sels = []
+            # ladder sizes: one program per size, but usually ONE dispatch
+            # per batch — the per-call dispatch+sync latency (~84 ms,
+            # scripts/exp_prune.py) dominates the 28 ms of compute
+            for ck, size in _ladder_chunks(len(of), (2048, 8192)):
+                cpad = _pad_to(cand[ck], size)
+                upad = _pad_to(uniq[of][ck], size, fill=0)
                 sel_r, _ = prune_batch(
                     vecs, vn,
                     jnp.asarray(upad),
@@ -788,5 +919,11 @@ class HnswBuilder:
                     M=cap_l, keep_all_under_m=False, metric=cfg.metric,
                     out_width=cap_l,
                 )
-                out_rows[of[ck]] = np.asarray(sel_r)[: ck.stop - ck.start]
-        return uniq.astype(np.int32), out_rows
+                # D2H the full canonical block and slice on HOST — a device
+                # slice sel_r[:k] is a fresh program per distinct k
+                sels.append(np.asarray(sel_r)[: ck.stop - ck.start])
+            allsel = sels[0] if len(sels) == 1 else np.concatenate(sels)
+            out_rows[of] = allsel[: len(of)]
+        # full-row ship set: capacity overflow + big-fit appends (> FIT_K)
+        ship = np.nonzero(~fits | (counts > FIT_K))[0]
+        return uniq.astype(np.int32), out_rows, fit_plan, ship

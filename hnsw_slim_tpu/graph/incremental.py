@@ -69,7 +69,11 @@ def _sorted_merge(keys: np.ndarray, add: np.ndarray, rem: np.ndarray):
         keep[pos[ok]] = False
         keys = keys[keep]
     if len(add):
-        keys = np.union1d(keys, add)
+        # np.union1d re-sorts the whole 24M-key array (~seconds per level
+        # per update); the delta is tiny, so a searchsorted + O(n) memmove
+        # insert keeps the array sorted at linear cost
+        add = np.unique(add)
+        keys = np.insert(keys, np.searchsorted(keys, add), add)
     return keys
 
 
@@ -393,9 +397,13 @@ class IncrementalSlim:
                 inb = pos < len(self.keys[l])
                 have[inb] = self.keys[l][pos[inb]] == cand[inb]
                 flip = want != have
+                t_sm = time.perf_counter()
                 self.keys[l] = _sorted_merge(
                     self.keys[l], cand[flip & want], cand[flip & ~want]
                 )
+                if timing:
+                    tmarks.append(
+                        (f"L{l}.keys.merge", time.perf_counter() - t_sm))
                 affected_src = cu[flip]
             else:
                 affected_src = np.zeros(0, np.int64)

@@ -530,7 +530,8 @@ def pack_chal_arrays(
             tgt = lvl_off[:, l][:, None] + rank
             flat[tgt[mask]] = rows[mask]
     if timing:
-        print(f"    pack host={_time.perf_counter()-t0:.2f}s", flush=True)
+        print(f"    pack host={_time.perf_counter()-t0:.2f}s "
+              f"(native={packed is not None})", flush=True)
         t0 = _time.perf_counter()
 
     lvl_off32 = lvl_off.astype(np.int32)

@@ -50,7 +50,7 @@ def main():
         return (time.perf_counter() - t0) / 3 / ITERS * 1e6
 
     @jax.jit
-    def vgather2d():
+    def vgather2d(vecs):
         def body(acc, i):
             safe = idx_of(i, CW)
             v = vecs[safe]
@@ -58,7 +58,16 @@ def main():
         return lax.scan(body, jnp.float32(0), jnp.arange(ITERS))[0]
 
     @jax.jit
-    def vgatherflat():
+    def vgather_sorted(vecs):
+        # the real kernel gathers cand_sorted (ids ascending per row)
+        def body(acc, i):
+            safe = jnp.sort(idx_of(i, CW), axis=1)
+            v = vecs[safe]
+            return acc + jnp.sum(v[:, :, 0]), None
+        return lax.scan(body, jnp.float32(0), jnp.arange(ITERS))[0]
+
+    @jax.jit
+    def vgatherflat(vecs):
         def body(acc, i):
             safe = idx_of(i, CW).reshape(-1)
             v = vecs[safe].reshape(B, CW, DIM)
@@ -66,7 +75,7 @@ def main():
         return lax.scan(body, jnp.float32(0), jnp.arange(ITERS))[0]
 
     @jax.jit
-    def vgatherbf16():
+    def vgatherbf16(vecs16):
         def body(acc, i):
             safe = idx_of(i, CW)
             v = vecs16[safe]
@@ -74,7 +83,7 @@ def main():
         return lax.scan(body, jnp.float32(0), jnp.arange(ITERS))[0]
 
     @jax.jit
-    def fetch16():
+    def fetch16(dense0):
         def body(acc, i):
             pops = idx_of(i, POP)
             ids = jnp.concatenate(
@@ -84,18 +93,22 @@ def main():
         return lax.scan(body, jnp.int32(0), jnp.arange(ITERS))[0]
 
     @jax.jit
-    def fetch1():
+    def fetch1(dense0):
         def body(acc, i):
             pops = idx_of(i, POP)
             ids = dense0[pops].reshape(B, POP * W)
             return acc + jnp.sum(ids), None
         return lax.scan(body, jnp.int32(0), jnp.arange(ITERS))[0]
 
-    for name, fn in [("vgather2d", vgather2d), ("vgatherflat", vgatherflat),
-                     ("vgatherbf16", vgatherbf16), ("fetch16", fetch16),
-                     ("fetch1", fetch1)]:
-        us = timeit(fn)
-        print(f"{name:12s} {us:8.0f} us/iter", flush=True)
+    for name, fn, arg in [
+            ("vgather2d", vgather2d, vecs),
+            ("vgather_sorted", vgather_sorted, vecs),
+            ("vgatherflat", vgatherflat, vecs),
+            ("vgatherbf16", vgatherbf16, vecs16),
+            ("fetch16", fetch16, dense0),
+            ("fetch1", fetch1, dense0)]:
+        us = timeit(lambda fn=fn, arg=arg: fn(arg))
+        print(f"{name:14s} {us:8.0f} us/iter", flush=True)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N, DIM, NQ = int(os.environ.get("SB_N", 1_000_000)), 128, 1024
 STRATEGY = os.environ.get("SB_STRATEGY", "nnd")  # nnd | insert
+# build-clock knobs (VERDICT r3 item 1: beat the reference's 556 s 1-core
+# build at served recall >= 0.95). Larger insert batches amortize host
+# orchestration; lower efc narrows the per-insert beam — both trade a
+# little graph quality, and the serving sweep below verifies the margin.
+MAXBATCH = int(os.environ.get("SB_MAXBATCH", 4096))
+EFC = int(os.environ.get("SB_EFC", 128))
+M = int(os.environ.get("SB_M", 30))
 
 
 def main():
@@ -48,19 +55,22 @@ def main():
     del bf  # frees its 512 MB device copy of base (HBM headroom for convert)
     gc.collect()
 
-    cache = f"/root/repo/.bench_cache/selfbuild_{N}_{STRATEGY}.npz"
+    tag = f"{STRATEGY}_b{MAXBATCH}_e{EFC}_m{M}" \
+        if (MAXBATCH, EFC, M) != (4096, 128, 30) else STRATEGY
+    cache = f"/root/repo/.bench_cache/selfbuild_{N}_{tag}.npz"
     t0 = time.perf_counter()
     if os.path.exists(cache):
         h = load_hnsw(cache)
         t_build = float(open(cache + ".time").read())
-        print(f"{STRATEGY} build: cached ({t_build:.1f}s original)", flush=True)
+        print(f"{tag} build: cached ({t_build:.1f}s original)", flush=True)
     else:
-        h = HnswIndex(HnswConfig(M=30, ef_construction=128), strategy=STRATEGY)
+        h = HnswIndex(HnswConfig(M=M, ef_construction=EFC),
+                      strategy=STRATEGY, max_batch=MAXBATCH)
         h.build(base, verbose=True)
         t_build = time.perf_counter() - t0
         save_hnsw(cache, h)
         open(cache + ".time", "w").write(str(t_build))
-        print(f"{STRATEGY} build: {t_build:.1f}s", flush=True)
+        print(f"{tag} build: {t_build:.1f}s", flush=True)
 
     t0 = time.perf_counter()
     idx = HnswSlimIndex.from_hnsw(h, SlimConfig.from_ratios())
@@ -92,7 +102,7 @@ def main():
         if rec >= 0.95:
             break
     print(json.dumps({
-        "mode": f"selfbuild_1m_{STRATEGY}", "build_s": round(t_build, 1),
+        "mode": f"selfbuild_1m_{tag}", "build_s": round(t_build, 1),
         "convert_s": round(t_conv, 1),
         "graph_mb": round(idx.index_size() / 1e6, 1),
         "points": {str(k): list(v) for k, v in points.items()},

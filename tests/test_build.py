@@ -39,6 +39,26 @@ def test_hnsw_build_search_recall():
     np.testing.assert_allclose(d[valid], true_d[valid], rtol=1e-3, atol=1e-3)
 
 
+def test_insert_build_device_mirror_parity():
+    """The insertion builder keeps two adjacency copies: adj_np (host, the
+    returned graph) and adj_dev (device, what in-build searches traverse).
+    The device side is updated with sparse deltas (append-only column
+    scatter + full rows for inserted/overflow nodes), so any drift would
+    silently degrade build quality without failing a recall test. Assert
+    byte-exact agreement after a build that exercises both the fit
+    (append) and overflow (re-prune) reverse-connect paths."""
+    from hnsw_slim_tpu.graph.build import HnswBuilder
+
+    base, _ = clustered(n=3000, dim=16, n_queries=1, seed=3)
+    b = HnswBuilder(HnswConfig(M=8, ef_construction=48), max_batch=256)
+    g, _levels = b.build(base)
+    for lvl, dev in enumerate(b._adj_dev):
+        np.testing.assert_array_equal(
+            np.asarray(dev), np.asarray(g.adjs[lvl]),
+            err_msg=f"device adjacency mirror diverged at level {lvl}",
+        )
+
+
 def test_hnsw_ip_metric():
     base, queries = clustered(n=2000, dim=24, n_queries=50, seed=12)
     # normalize for a meaningful IP space
