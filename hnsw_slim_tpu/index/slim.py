@@ -106,6 +106,38 @@ class HnswSlimIndex:
         self.dense0 = jnp.asarray(rows.astype(np.int32))
         return int(self.dense0.nbytes)
 
+    def update_dense0(self, host_chal: dict, ids) -> None:
+        """Refresh dense level-0 rows for `ids` in place (pow2-bucketed row
+        scatter) instead of rebuilding + re-uploading the full [N, cap0]
+        array — 256 MB of H2D per /updateIndex at 1M when only ~1e4 rows
+        changed. Falls back to densify_level0 when the node-padding bucket
+        grew (dense0's shape must track the padded graph)."""
+        import numpy as np
+
+        from ..graph.build import _next_pow2, _pad_to
+        from ..persist.patch import _subset_rows
+
+        n_pad = int(self.graph.level.shape[0])
+        if self.dense0 is None or int(self.dense0.shape[0]) != n_pad:
+            self.densify_level0()
+            return
+        ids = np.unique(np.asarray(ids, np.int64))
+        ids = ids[(ids >= 0) & (ids < len(host_chal["lvl_off"]))]
+        if not len(ids):
+            return
+        rows = _subset_rows(host_chal, 0, ids, self.graph.cap0)
+        cap = max(1024, _next_pow2(len(ids)))
+        ids_pad = _pad_to(ids.astype(np.int32), cap, fill=int(ids[0]))
+        # pad rows by duplicating row 0 so the duplicated id scatters the
+        # same value (duplicate writes in one scatter are benign only then)
+        rows_pad = np.broadcast_to(
+            rows[0], (cap, rows.shape[1])
+        ).copy()
+        rows_pad[: len(ids)] = rows
+        self.dense0 = self.dense0.at[jnp.asarray(ids_pad)].set(
+            jnp.asarray(rows_pad.astype(np.int32))
+        )
+
     @classmethod
     def from_hnsw(
         cls,

@@ -46,10 +46,9 @@ def to_np(chal: ChalGraph) -> dict:
     )
 
 
-def _level_rows(c: dict, l: int, count: int, width: int) -> np.ndarray:
-    """Canonical (sorted, -1-padded) level-l neighbor rows for nodes
-    [0, count) — vectorized gather over the flat CHAL arrays."""
-    off = c["lvl_off"][:count]
+def _rows_for(c: dict, l: int, off: np.ndarray, width: int) -> np.ndarray:
+    """Canonical (sorted, -1-padded) level-l rows for the given lvl_off
+    slice — vectorized gather over the flat CHAL arrays."""
     start = off[:, l].astype(np.int64)
     end = off[:, l + 1].astype(np.int64)
     idx = start[:, None] + np.arange(width)[None, :]
@@ -58,6 +57,17 @@ def _level_rows(c: dict, l: int, count: int, width: int) -> np.ndarray:
     big = np.where(rows < 0, np.iinfo(np.int32).max, rows)
     out = np.sort(big, axis=1)
     return np.where(out == np.iinfo(np.int32).max, -1, out)
+
+
+def _level_rows(c: dict, l: int, count: int, width: int) -> np.ndarray:
+    """Canonical level-l neighbor rows for nodes [0, count)."""
+    return _rows_for(c, l, c["lvl_off"][:count], width)
+
+
+def _subset_rows(c: dict, l: int, ids: np.ndarray, width: int) -> np.ndarray:
+    """Canonical level-l neighbor rows for an arbitrary id subset (the
+    incremental dense0 refresh gathers only changed nodes)."""
+    return _rows_for(c, l, c["lvl_off"][ids], width)
 
 
 def compute_diff(old: ChalGraph, new: ChalGraph) -> tuple[list[int], list[int]]:

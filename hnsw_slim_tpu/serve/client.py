@@ -138,4 +138,7 @@ class SlimClient:
         local_index.graph = graph
         local_index.vectors = jnp.asarray(vecs)
         local_index.vn = distance.sq_norms(local_index.vectors)
+        if getattr(local_index, "dense0", None) is not None:
+            # the dense serving layout must track the patched graph
+            local_index.densify_level0()
         return local_index

@@ -78,6 +78,8 @@ class SlimServer:
         serve_index: str = "slim",  # "slim" (hnsw_slim_server.cc),
         # "hnsw" (hnsw_server.cc — serve the unpruned graph directly), or
         # "slimzero" (in-degree-guarded conversion, hnswalg_slimzero.h)
+        dense0: bool = True,  # dense level-0 serving layout (+~25% QPS;
+        # maintained incrementally across /updateIndex via update_dense0)
     ):
         self.hnsw_cfg = hnsw_cfg or HnswConfig()
         self.slim_cfg = slim_cfg or SlimConfig.from_ratios()
@@ -116,6 +118,8 @@ class SlimServer:
         self.slim.graph = pad_chal_nodes(chal, self.node_bucket)
         self.slim.vectors = self.hnsw.vectors
         self.slim.vn = self.hnsw.vn
+        if dense0 and serve_index != "hnsw":
+            self.slim.densify_level0()
         # host vector mirror for patch encoding (no device->host round trip;
         # np.array = writable copy, np.asarray of a device buffer is read-only)
         self.vectors_np = np.array(self.hnsw.vectors, np.float32)
@@ -174,15 +178,24 @@ class SlimServer:
             touched = [np.asarray(reused, np.int64)]
             level_changed = np.zeros(0, np.int64)
             if n_reuse:
+                t_rp = _time.perf_counter()
                 t, level_changed = self.hnsw.replace_points(
                     reused, new_vectors[:n_reuse]
                 )
+                if timing:
+                    print(f"  srv timing: replace_points="
+                          f"{_time.perf_counter()-t_rp:.2f}s", flush=True)
                 touched.append(t)
                 self.vectors_np[reused] = new_vectors[:n_reuse]
                 self.labels[reused] = new_labels[:n_reuse]
                 self.deleted[reused] = False
             if n_reuse < len(new_vectors):
+                t_ap = _time.perf_counter()
                 touched.append(self.hnsw.add_points(new_vectors[n_reuse:]))
+                if timing:
+                    print(f"  srv timing: add_points call="
+                          f"{_time.perf_counter()-t_ap:.2f}s", flush=True)
+                t_cc = _time.perf_counter()
                 self.vectors_np = np.concatenate(
                     [self.vectors_np, new_vectors[n_reuse:]]
                 )
@@ -193,6 +206,9 @@ class SlimServer:
                     self.deleted,
                     np.zeros(self.hnsw.graph.n - len(self.deleted), bool),
                 ])
+                if timing:
+                    print(f"  srv timing: concats="
+                          f"{_time.perf_counter()-t_cc:.2f}s", flush=True)
             self.next_label = max(
                 self.next_label, int(new_labels.max(initial=0)) + 1
             )
@@ -201,8 +217,13 @@ class SlimServer:
                       flush=True)
                 t0 = _time.perf_counter()
 
+            t_ha = _time.perf_counter()
+            adj = self.hnsw.host_adj()
+            if timing:
+                print(f"  srv timing: host_adj="
+                      f"{_time.perf_counter()-t_ha:.2f}s", flush=True)
             chal, changed = self.inc.update(
-                self.hnsw.host_adj(), np.asarray(self.hnsw.levels),
+                adj, np.asarray(self.hnsw.levels),
                 int(np.asarray(self.hnsw.graph.entry)),
                 self.hnsw.vectors, self.hnsw.vn,
                 touched=np.concatenate(touched),
@@ -210,12 +231,29 @@ class SlimServer:
             )
             from ..graph.types import pad_chal_nodes
 
+            t_pd = _time.perf_counter()
             self.chal_unpadded = chal
             self.slim.graph = pad_chal_nodes(chal, self.node_bucket)
             self.slim.vectors = self.hnsw.vectors
             self.slim.vn = self.hnsw.vn
             if self.slim.dense0 is not None:
-                self.slim.densify_level0()
+                host_chal = getattr(self.inc, "host_chal", None)
+                if host_chal is not None:
+                    # scatter only rows whose CHAL content changed (plus
+                    # appended and reused slots) instead of re-uploading
+                    # the whole [N, cap0] layout (256 MB of H2D at 1M)
+                    self.slim.update_dense0(host_chal, np.concatenate([
+                        changed,
+                        np.arange(prev_count, self.hnsw.graph.n,
+                                  dtype=np.int64),
+                        np.asarray(reused, np.int64),
+                    ]))
+                else:
+                    self.slim.densify_level0()
+            if timing:
+                print(f"  srv timing: pad+densify="
+                      f"{_time.perf_counter()-t_pd:.2f}s", flush=True)
+            t_pw = _time.perf_counter()
             self.batcher.index = (
                 self.hnsw if self.serve_index == "hnsw" else self.slim
             )
@@ -235,6 +273,8 @@ class SlimServer:
             )
             self.pending_writer = writer
             if timing:
+                print(f"  srv timing: patch_writer="
+                      f"{_time.perf_counter()-t_pw:.2f}s", flush=True)
                 print(f"  srv timing: reprune+patch="
                       f"{_time.perf_counter()-t0:.2f}s", flush=True)
             return writer

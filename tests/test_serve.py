@@ -119,6 +119,26 @@ def test_replace_deleted_slot_reuse():
     assert fin and len(blob) > 0
 
 
+def test_incremental_dense0_matches_full_rebuild(served):
+    """update_index maintains the dense level-0 serving layout with a sparse
+    row scatter (update_dense0); it must equal a from-scratch densify of the
+    post-update graph. Runs after the module's update/delete tests so the
+    layout has survived several mutations."""
+    server, client, base, queries = served
+    assert server.slim.dense0 is not None  # dense0 serving is the default
+    # one more mutation (reuses the deleted slot + appends); offset keeps the
+    # new points far from every query's true top-5, so later recall tests
+    # against the pre-update ground truth stay meaningful
+    server.update_index(base[:50] + 5.0)
+    inc_rows = np.asarray(server.slim.dense0)
+    full = server.slim.densify_level0()
+    assert full == inc_rows.nbytes
+    np.testing.assert_array_equal(
+        inc_rows, np.asarray(server.slim.dense0),
+        err_msg="incremental dense0 diverged from full densify",
+    )
+
+
 def test_bootstrap_and_vector_fetch(served):
     server, client, base, queries = served
     local = client.bootstrap()
