@@ -359,34 +359,23 @@ def beam_level_scored(
         ew = ids.shape[1]
         cw = min(ew, scan_width or max(2 * ef, 128)) if e > 1 else ew
         if e > 1 and 2 * cw < ew:
-            # Pack the valid lanes with an offset cumsum + one gather, then
-            # sort only the 2*cw window. Every fetched row arrives with its
-            # valid ids as a CONTIGUOUS PREFIX (dense0/_level_rows canonical
-            # form; CHAL slices gather contiguously) — so a full lax.sort
-            # over all E*W lanes (a ~55-pass network at EW=1024, formerly
-            # the second-largest per-iteration cost after the row gather)
-            # is unnecessary to separate the ~8% valid lanes.
-            w = ew // e
-            v3 = valid.reshape(b, e, w)
-            c = jnp.sum(v3, axis=2)                      # [B, E]
-            offs = jnp.cumsum(c, axis=1) - c             # exclusive
-            t = jax.lax.broadcasted_iota(jnp.int32, (b, 2 * cw), 1)
-            j = jnp.sum(
-                offs[:, None, :] <= t[:, :, None], axis=2
-            ) - 1                                        # [B, 2cw] source row
-            i = t - jnp.take_along_axis(offs, j, axis=1)
-            ok = i < jnp.take_along_axis(c, j, axis=1)
-            idx = jnp.clip(j * w + i, 0, ew - 1)
-            pre = jnp.where(ok, jnp.take_along_axis(ids, idx, axis=1),
-                            jnp.int32(2**30))
-            # window overflow drops the LAST pops' candidates (pops are
-            # best-first, so the survivors are the more promising ones)
+            # sort/intra-dedup FIRST, then buffer-dedup only a 2*cw
+            # pre-window: the full [B, EW, P] broadcast compare was the
+            # second-largest per-iteration cost after the row gather
+            # (profile_search.py r3: 752 us vs the 2*cw form's ~190 us at
+            # EW=1024, P=512). The final small sort packs the survivors, so
+            # the scan window carries no intra-dup holes either.
+            # (An offset-cumsum pack via take_along_axis was tried instead
+            # of the full sort: take_along_axis lowers to per-ELEMENT
+            # gathers (~10 ns each) and regressed the ef=384 point 3x.)
+            cs0 = lax.sort(jnp.where(valid, ids, jnp.int32(2**30)),
+                           dimension=1)
+            dup0 = jnp.concatenate(
+                [jnp.zeros((b, 1), bool), cs0[:, 1:] == cs0[:, :-1]], axis=1)
+            pre = jnp.where(dup0, jnp.int32(2**30), cs0)[:, : 2 * cw]
             dupb = jnp.any(pre[:, :, None] == buf_id[:, None, :], axis=2)
             pre = jnp.where(dupb, jnp.int32(2**30), pre)
-            cs = lax.sort(pre, dimension=1)
-            dup0 = jnp.concatenate(
-                [jnp.zeros((b, 1), bool), cs[:, 1:] == cs[:, :-1]], axis=1)
-            cand_sorted = jnp.where(dup0, jnp.int32(2**30), cs)[:, :cw]
+            cand_sorted = lax.sort(pre, dimension=1)[:, :cw]
         else:
             dup = jnp.any(ids[:, :, None] == buf_id[:, None, :], axis=2)
             cand_ids = jnp.where(valid & ~dup, ids, jnp.int32(2**30))
