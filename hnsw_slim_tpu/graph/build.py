@@ -489,29 +489,60 @@ def repair_connectivity(
     samples). Insertion-built HNSW gets connectivity for free (every insert
     links into the existing graph, hnswalg.h:1344-1367); the kNN-union build
     must enforce it explicitly."""
+    import os as _os
+    import time as _time
+
+    timing = _os.environ.get("SLIM_TIMING")
     rows = rows.copy()
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
+        t0 = _time.perf_counter()
         comp = _components(rows, node_ids)
         labels, counts = np.unique(comp, return_counts=True)
+        if timing:
+            print(f"    repair round {rnd}: components={len(labels)} "
+                  f"(components pass {_time.perf_counter()-t0:.2f}s)",
+                  flush=True)
         if len(labels) == 1:
             return rows
         main = labels[np.argmax(counts)]
         rng = np.random.default_rng(0)
-        for c in labels:
-            if c == main:
-                continue
+        # bound the round's [S, sample, 4*sample] distance tensor (~1 MB per
+        # stray); an extreme stray count spills into the next round
+        strays = [c for c in labels if c != main][:256]
+        # ONE batched distance program per round: the per-component device
+        # calls (gather + pairwise + sync, ~0.3-0.5 s each) made the repair
+        # pass scale with the stray count (165 s of the 1M self-build
+        # convert); padding every stray to a fixed sample grid instead
+        # costs one [S, sample, 4*sample] einsum.
+        a_ss, b_ss = [], []
+        for c in strays:
             a_idx = np.nonzero(comp == c)[0]
             b_idx = np.nonzero(comp != c)[0]
-            a_s = rng.choice(a_idx, size=min(sample, len(a_idx)), replace=False)
-            b_s = rng.choice(b_idx, size=min(4 * sample, len(b_idx)), replace=False)
-            av = vectors[jnp.asarray(node_ids[a_s])]
-            bv = vectors[jnp.asarray(node_ids[b_s])]
-            d = np.asarray(
-                distance.pairwise_dist(
-                    av, bv, metric,
-                    precision=jax.lax.Precision.DEFAULT,
-                )
+            a_s = rng.choice(a_idx, size=sample,
+                             replace=len(a_idx) < sample)
+            b_s = rng.choice(b_idx, size=4 * sample,
+                             replace=len(b_idx) < 4 * sample)
+            a_ss.append(a_s)
+            b_ss.append(b_s)
+        A = np.stack(a_ss)  # [S, sample]
+        Bm = np.stack(b_ss)  # [S, 4*sample]
+        av = vectors[jnp.asarray(node_ids[A])]  # [S, sample, d]
+        bv = vectors[jnp.asarray(node_ids[Bm])]
+        dots = jnp.einsum(
+            "sad,sbd->sab", av.astype(jnp.float32), bv.astype(jnp.float32),
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        if metric == "ip":
+            d_all = np.asarray(1.0 - dots)
+        else:
+            an = jnp.sum(av.astype(jnp.float32) ** 2, axis=2)
+            bn = jnp.sum(bv.astype(jnp.float32) ** 2, axis=2)
+            d_all = np.asarray(
+                an[:, :, None] + bn[:, None, :] - 2.0 * dots
             )
+        for si, c in enumerate(strays):
+            d = d_all[si]
+            a_s, b_s = a_ss[si], b_ss[si]
             # several bridges per stray component: single-edge bridges are
             # fragile and may be cut by later pruning passes
             flat = np.argsort(d, axis=None)[: 4 * max(1, d.shape[0] // sample)]
@@ -522,6 +553,8 @@ def repair_connectivity(
                     continue
                 used_a.add(ai)
                 u, v = a_s[ai], b_s[bi]
+                if u == v or comp[u] == comp[v]:
+                    continue  # sampled-with-replacement duplicates
                 _append_or_replace(rows, u, node_ids[v])
                 _append_or_replace(rows, v, node_ids[u])
     return rows

@@ -130,7 +130,10 @@ class IncrementalSlim:
         na = len(ids)
         if na == 0:
             return np.zeros((0, out_w), np.int32)
-        npad = -(-na // self.chunk) * self.chunk
+        # pow2 ladder above one chunk: updates see varying touched-set sizes
+        # and every fresh padded shape costs a remote compile
+        npad = (self.chunk if na <= self.chunk
+                else 1 << (na - 1).bit_length())
         out = prune_all(
             vectors, vn,
             jnp.asarray(_pad_to_len(ids.astype(np.int32), npad, 0)),

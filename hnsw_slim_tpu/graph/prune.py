@@ -127,7 +127,10 @@ def convert_to_slim(
         from .heuristic import prune_all
 
         na = len(act)
-        npad = -(-na // chunk) * chunk
+        # canonical pad: every upper level shares ONE compiled program (the
+        # remote compiler has taken 135-533 s on a fresh prune_all shape;
+        # pruning 32k padded rows costs ~0.5 s)
+        npad = 32768 if na <= 32768 else -(-na // chunk) * chunk
         pruned = np.asarray(
             prune_all(
                 vectors, vn,
@@ -142,17 +145,21 @@ def convert_to_slim(
             tmarks.append((f"L{l}.stage2[{na}]", _time.perf_counter() - t0))
             t0 = _time.perf_counter()
 
-        # stage 3: reverse union + dedup (sorted by id)
+        # stage 3: reverse union + dedup (sorted by id). Shift-packed keys:
+        # the previous (src * n + tgt) encoding paid a 48M-element int64
+        # division to decode (~100 s of the 1M convert); shifts are free
         s_ids = np.repeat(act, out_w)
         t_ids = pruned.ravel()
         m = t_ids >= 0
         s_ids, t_ids = s_ids[m], t_ids[m]
         key = np.unique(
-            np.concatenate([s_ids.astype(np.int64) * n + t_ids,
-                            t_ids.astype(np.int64) * n + s_ids])
+            np.concatenate([
+                (s_ids.astype(np.int64) << np.int64(31)) | t_ids,
+                (t_ids.astype(np.int64) << np.int64(31)) | s_ids,
+            ])
         )
-        u_src = (key // n).astype(np.int64)
-        u_tgt = (key % n).astype(np.int32)
+        u_src = (key >> np.int64(31)).astype(np.int64)
+        u_tgt = (key & np.int64((1 << 31) - 1)).astype(np.int32)
         rows, counts = _group_rows(u_src, u_tgt, act, n)
         if timing:
             tmarks.append((f"L{l}.union", _time.perf_counter() - t0))

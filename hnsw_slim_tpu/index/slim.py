@@ -251,6 +251,28 @@ class HnswSlimIndex:
         }
         return d, i
 
+    def search_async(self, queries, k: int):
+        """Dispatch one search without the device->host sync; returns the
+        device output tuple (d, ids, hops, dcomp). Steady-state serving
+        overlaps the ~30 ms tunnel round-trip of batch k with the device
+        compute of batch k+1 — jax.device_get the result when needed."""
+        g = self.graph
+        ef = max(self.scfg.ef, k)
+        b = int(np.asarray(queries).shape[0])
+        stages = tuple(
+            b // f for f in self.scfg.straggler_stages if b // f >= 32
+        )
+        return _chal_search_jit(
+            g.nbr, g.lvl_off, g.entry, self.vectors, self.vn,
+            jnp.asarray(np.asarray(queries, np.float32)),
+            max_level=g.max_level, threshold_level=g.threshold_level,
+            cap0=g.cap0, cap=g.cap, ef=ef, k=k,
+            max_iters=self.scfg.iters(),
+            metric=self.metric, pop_width=self.scfg.pop_width,
+            dense0=self.dense0,
+            stages=stages, scan_width=self.scfg.scan_width,
+        )
+
     def index_size(self) -> int:
         """Graph-only bytes in the reference's accounting
         (hnswalg_slim.h:2435-2443)."""
