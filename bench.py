@@ -185,16 +185,11 @@ def main():
             f"probe_recall={tune['probe_recall']:.4f}")
         idx.set_ef(ef)
         _, ids = idx.search(queries, k=10)  # compile + warm
-        # steady-state throughput: K batches dispatched back-to-back, one
-        # sync at the end — the serving batcher overlaps the ~30 ms tunnel
-        # round-trip of batch k with the device compute of batch k+1
-        import jax as _jax
-
-        K = 4
-        t0 = time.perf_counter()
-        outs = [idx.search_async(queries, k=10) for _ in range(K)]
-        _jax.block_until_ready(outs)
-        dt = (time.perf_counter() - t0) / K
+        # NB: sync'd timing on purpose. Pipelining K async dispatches with
+        # one trailing sync measured 4x SLOWER end-to-end on the axon
+        # remote backend (queued programs serialize pathologically); the
+        # ~30 ms round-trip per batch is the cheaper reality.
+        dt = min(_timed(idx.search, queries) for _ in range(3))
         r = recall(ids, gt)
         qps = NQ / dt
         log(f"tpu ef={ef}: recall={r:.4f} qps={qps:.0f} "
