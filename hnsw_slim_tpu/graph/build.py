@@ -54,16 +54,35 @@ def _pad_to(a: np.ndarray, size: int, fill: int = -1) -> np.ndarray:
     return np.concatenate([a, pad])
 
 
+def _pad_dup(a: np.ndarray, size: int) -> np.ndarray:
+    """Pad the leading dim to `size` by repeating row 0. Used where padded
+    rows feed a row-wise-deterministic program whose output is scattered by
+    a row-0-duplicated id array: the duplicate writes identical content, so
+    the scatter stays benign without a host-side slice."""
+    n = a.shape[0]
+    if n >= size:
+        return a
+    pad = np.broadcast_to(a[0], (size - n,) + a.shape[1:])
+    return np.concatenate([a, pad])
+
+
 def _ladder_chunks(n: int, ladder: tuple):
     """Split [0, n) into (slice, padded_size) pieces whose padded sizes come
     from `ladder` (ascending): the compiled-shape count stays at len(ladder)
-    while the dispatch count stays near 1 (each eager op chain over the
-    device tunnel costs ~50-100 ms of latency regardless of payload)."""
+    while the dispatch count stays low (a cached-program dispatch is ~1 ms).
+
+    The remainder is decomposed greedily into SMALLER rungs when that saves
+    more padding than a rung's worth of rows: padding is real H2D bytes
+    (~76 MB/s tunnel), and rounding 20k rows up to the 131072 rung shipped
+    31 MB for 4.8 MB of payload — the late-build L0.scatter spikes."""
     out = []
     s = 0
     while s < n:
         rem = n - s
         size = next((x for x in ladder if x >= rem), ladder[-1])
+        lower = [x for x in ladder if x <= rem]
+        if size > rem and lower and size - rem > lower[-1]:
+            size = lower[-1]  # exact-fit lower rung; loop continues on rest
         out.append((slice(s, min(s + size, n)), size))
         s += size
     return out
@@ -611,8 +630,13 @@ class HnswBuilder:
         import os as _os
         import time as _time
 
+        timing = _os.environ.get("SLIM_TIMING")
         t_setup = _time.perf_counter()
         vecs = jnp.asarray(np.asarray(vectors, np.float32))
+        if timing:
+            jax.block_until_ready(vecs)
+            self.phase_s["setup.h2d"] = _time.perf_counter() - t_setup
+            t_setup = _time.perf_counter()
         vn = distance.sq_norms(vecs)
         adj_np = [np.full((n, caps[l]), -1, np.int32) for l in range(lmax + 1)]
         # allocate the device mirror on device (jnp.full) — uploading the
@@ -620,7 +644,7 @@ class HnswBuilder:
         adj_dev = [
             jnp.full((n, caps[l]), -1, jnp.int32) for l in range(lmax + 1)
         ]
-        if _os.environ.get("SLIM_TIMING"):
+        if timing:
             jax.block_until_ready(adj_dev[0])
             self.phase_s["setup"] = _time.perf_counter() - t_setup
 
@@ -757,22 +781,39 @@ class HnswBuilder:
                 ci_np = ci_np[aidx]
             else:
                 ci_np = cand_up_np[l][pos_in_up[aidx]]
+            na = len(a_ids)
             if l == 0:  # whole batch: one compiled shape
-                na = len(a_ids)
-                ci_pad = _pad_to(ci_np, self.pad_batch)
-                aid_pad = _pad_to(a_ids.astype(np.int32), self.pad_batch, fill=0)
+                psize = self.pad_batch
             else:
-                ci_pad, na = _pad_rows(ci_np)
-                aid_pad, _ = _pad_rows(a_ids.astype(np.int32), fill=0)
+                psize = _next_pow2(na)
+            # dup-row padding (not -1/0 fill): the device result is scattered
+            # directly below, and a duplicated id must write identical content
+            ci_pad = _pad_dup(ci_np, psize)
+            aid_pad = _pad_to(
+                a_ids.astype(np.int32), psize, fill=int(a_ids[0])
+            )
             # forward selection: heuristic to M with the under-M early-out
             # (mutuallyConnectNewElement -> getNeighborsByHeuristic2,
             #  hnswalg.h:549-560)
-            sel, _ = prune_batch(
-                vecs, vn, jnp.asarray(aid_pad), jnp.asarray(ci_pad),
+            aid_dev = jnp.asarray(aid_pad)
+            sel_dev, _ = prune_batch(
+                vecs, vn, aid_dev, jnp.asarray(ci_pad),
                 jnp.asarray(ci_pad >= 0),
                 M=cfg.M, keep_all_under_m=True, metric=cfg.metric,
             )
-            sel = np.asarray(sel)[:na]
+            # device-direct forward scatter: the pruned rows never leave the
+            # chip on the write path (the D2H below feeds only the host
+            # mirror + reverse-edge planning)
+            a = adj_dev[l]
+            selw = sel_dev.shape[1]
+            sel_full = (
+                sel_dev[:, :cap_l] if selw >= cap_l
+                else jnp.pad(
+                    sel_dev, ((0, 0), (0, cap_l - selw)), constant_values=-1
+                )
+            )
+            a = a.at[aid_dev].set(sel_full)
+            sel = np.asarray(sel_dev)[:na]
             fwd_rows = np.full((len(a_ids), cap_l), -1, np.int32)
             fwd_rows[:, : sel.shape[1]] = sel
             if timing:
@@ -780,8 +821,8 @@ class HnswBuilder:
                 t0 = _time.perf_counter()
 
             # reverse targets live in the pre-batch graph, disjoint from a_ids
-            rev_targets, rev_rows, fit_plan, of_idx = self._reverse_connect(
-                l, a_ids, sel, adj_np[l], cap_l, vecs, vn
+            rev_targets, rev_rows, fit_plan, of_idx, a = self._reverse_connect(
+                l, a_ids, sel, adj_np[l], cap_l, vecs, vn, a
             )
             if timing:
                 marks.append((f"L{l}.rev", _time.perf_counter() - t0))
@@ -800,16 +841,16 @@ class HnswBuilder:
             #   compact fit (append <= FIT_K edges: gather -> dense
             #   compare-combine -> row scatter; element-wise `.at[r, c].set`
             #   serializes on TPU and ran at ~7 s/batch)
-            full_ids = np.concatenate(
-                [a_ids.astype(np.int32), rev_targets[of_idx]]
-            )
-            full_rows = np.concatenate([fwd_rows, rev_rows[of_idx]], axis=0)
+            # forward rows and overflow rows were already scattered on
+            # device; only the big-append rows (> FIT_K new edges but still
+            # fitting) still ship as host-composed full rows
+            full_ids = rev_targets[of_idx]
+            full_rows = rev_rows[of_idx]
             # bucket LADDER, not fixed chunks: shapes must be few (a fresh
             # shape = seconds of remote compile) but dispatches must be few
             # too (each eager op chain costs ~50-100 ms of tunnel latency —
             # 50 x 2048-row chunks ran at ~4 s/batch where one 131072-row
             # call measures 25 ms, scripts/exp_scatter.py)
-            a = adj_dev[l]
             for ck, size in _ladder_chunks(len(full_ids), (2048, 16384,
                                                            131072)):
                 ids_pad2 = _pad_to(
@@ -862,15 +903,17 @@ class HnswBuilder:
                 self.phase_s[key] = self.phase_s.get(key, 0.0) + v
         return out
 
-    def _reverse_connect(self, l, a_ids, sel, adj_l, cap_l, vecs, vn):
+    def _reverse_connect(self, l, a_ids, sel, adj_l, cap_l, vecs, vn, a_dev):
         """Reverse edges u->p for each forward edge p->u (hnswalg.h:618-687):
         append while the target row has room, else heuristic-prune
         {existing ∪ new} down to the level cap.
 
-        Returns (uniq, out_rows, fit_plan, ship) where fit_plan is None or
-        (fit_ids, fit_cols[:, FIT_K], fit_vals[:, FIT_K]): targets appending
-        <= FIT_K edges, shipped as a constant-width compact update; `ship`
-        indexes the rows (overflow + big appends) that go as full rows."""
+        Returns (uniq, out_rows, fit_plan, ship, a_dev) where fit_plan is
+        None or (fit_ids, fit_cols[:, FIT_K], fit_vals[:, FIT_K]): targets
+        appending <= FIT_K edges, shipped as a constant-width compact update;
+        `ship` indexes the big-append rows (> FIT_K but fitting) that go as
+        full rows. Overflow rows are scattered into a_dev here, directly
+        from the device prune output (no H2D re-upload)."""
         cfg = self.cfg
         mask = sel >= 0
         pairs_u = sel[mask]
@@ -878,7 +921,7 @@ class HnswBuilder:
         if len(pairs_u) == 0:
             return (np.zeros((0,), np.int32),
                     np.zeros((0, cap_l), np.int32), None,
-                    np.zeros((0,), np.int64))
+                    np.zeros((0,), np.int64), a_dev)
 
         order = np.argsort(pairs_u, kind="stable")
         us, ps = pairs_u[order], pairs_p[order]
@@ -942,21 +985,31 @@ class HnswBuilder:
             # per batch — the per-call dispatch+sync latency (~84 ms,
             # scripts/exp_prune.py) dominates the 28 ms of compute
             for ck, size in _ladder_chunks(len(of), (2048, 8192)):
-                cpad = _pad_to(cand[ck], size)
-                upad = _pad_to(uniq[of][ck], size, fill=0)
+                # dup-row padding: the duplicated id's scatter writes
+                # identical content (prune_batch is row-wise deterministic)
+                cpad = _pad_dup(cand[ck], size)
+                upad = _pad_to(
+                    uniq[of][ck], size, fill=int(uniq[of][ck.start])
+                )
+                upad_dev = jnp.asarray(upad)
                 sel_r, _ = prune_batch(
                     vecs, vn,
-                    jnp.asarray(upad),
+                    upad_dev,
                     jnp.asarray(cpad),
                     jnp.asarray(cpad >= 0),
                     M=cap_l, keep_all_under_m=False, metric=cfg.metric,
                     out_width=cap_l,
                 )
+                # device-direct scatter of the pruned rows (out_width ==
+                # cap_l, so no reshape); the D2H below feeds only the host
+                # mirror
+                a_dev = a_dev.at[upad_dev].set(sel_r)
                 # D2H the full canonical block and slice on HOST — a device
                 # slice sel_r[:k] is a fresh program per distinct k
                 sels.append(np.asarray(sel_r)[: ck.stop - ck.start])
             allsel = sels[0] if len(sels) == 1 else np.concatenate(sels)
             out_rows[of] = allsel[: len(of)]
-        # full-row ship set: capacity overflow + big-fit appends (> FIT_K)
-        ship = np.nonzero(~fits | (counts > FIT_K))[0]
-        return uniq.astype(np.int32), out_rows, fit_plan, ship
+        # full-row ship set: big-fit appends (> FIT_K) only — overflow rows
+        # were already written device-side above
+        ship = np.nonzero(fits & (counts > FIT_K))[0]
+        return uniq.astype(np.int32), out_rows, fit_plan, ship, a_dev

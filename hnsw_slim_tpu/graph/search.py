@@ -340,12 +340,14 @@ def beam_level_scored(
         if pop_hook is not None:
             pstate = pop_hook(pstate, pops, pops >= 0)
 
-        ids_list = []
-        for j in range(e):
-            vsel = pops[:, j]
-            idsj = fetch(jnp.where(vsel >= 0, vsel, 0))
-            ids_list.append(jnp.where(vsel[:, None] >= 0, idsj, -1))
-        ids = jnp.concatenate(ids_list, axis=1)  # [B, E*W]
+        # ONE row gather for all E pops (both fetch forms are shape-generic
+        # in the leading dim; E separate gather ops pay E dispatch/fusion
+        # boundaries for the same HBM transactions)
+        idsf = fetch(jnp.maximum(pops, 0).reshape(b * e))
+        fw = idsf.shape[1]
+        ids = jnp.where(
+            (pops >= 0)[:, :, None], idsf.reshape(b, e, fw), -1
+        ).reshape(b, e * fw)  # [B, E*W]
 
         valid = (ids >= 0) & ~qdone[:, None]
 
