@@ -638,7 +638,25 @@ class HnswBuilder:
             self.phase_s["setup.h2d"] = _time.perf_counter() - t_setup
             t_setup = _time.perf_counter()
         vn = distance.sq_norms(vecs)
-        adj_np = [np.full((n, caps[l]), -1, np.int32) for l in range(lmax + 1)]
+        if timing:
+            jax.block_until_ready(vn)
+            self.phase_s["setup.norms"] = _time.perf_counter() - t_setup
+            t_setup = _time.perf_counter()
+        # np.empty, NOT np.full: cold first-touch page faults on this host
+        # cost ~37 s per 240 MB (hypervisor-backed memory), and np.full
+        # faulted ~840 MB of mirrors upfront (67 s of the 1M build's setup).
+        # Contract: a host-mirror row is defined only once written — every
+        # insert writes its full row at levels 0..lp_eff, node 0 and
+        # clamp-skipped upper rows are blanked explicitly below, and every
+        # consumer (convert/incremental/reverse-connect) reads only rows
+        # with level >= l. The device mirror stays -1-initialized (jnp.full)
+        # and is the source of truth for whole-array reads (save_hnsw).
+        adj_np = [np.empty((n, caps[l]), np.int32) for l in range(lmax + 1)]
+        for l in range(min(int(levels[0]), lmax) + 1):
+            adj_np[l][0] = -1  # node 0 inserts trivially: no row write
+        if timing:
+            self.phase_s["setup.host_alloc"] = _time.perf_counter() - t_setup
+            t_setup = _time.perf_counter()
         # allocate the device mirror on device (jnp.full) — uploading the
         # host -1 arrays cost 57 s of the 1M build's setup phase
         adj_dev = [
@@ -658,9 +676,15 @@ class HnswBuilder:
         # testing handle: the device mirror must track adj_np exactly (the
         # sparse column scatter writes deltas only); dropped with the builder
         self._adj_dev = adj_dev
+        # host mirror handover: HnswIndex adopts it as _adj_np so host_adj()
+        # never pulls the graph back through the tunnel
+        self.adj_np = adj_np
 
+        # the device mirror IS the final adjacency — re-uploading the host
+        # mirror here cost ~500 MB of H2D (~20-60 s on this tunnel) for
+        # byte-identical content
         return LevelGraph(
-            adjs=tuple(jnp.asarray(a) for a in adj_np),
+            adjs=tuple(adj_dev),
             level=jnp.asarray(levels),
             entry=jnp.asarray(np.int32(entry)),
             max_level=lmax,
@@ -684,6 +708,14 @@ class HnswBuilder:
             # entry-point update (hnswalg.h:1369-1374): each insert whose level
             # exceeds the running max becomes the new enterpoint, in order.
             hi = np.nonzero(levels[ids] > cur_maxlevel)[0]
+            for j in hi:
+                # rows above the insert-time clamp (lp_eff = min(lp, cur))
+                # were never written; the host mirror is lazily faulted
+                # (np.empty), so blank them to match the device's -1 rows
+                nid = int(ids[j])
+                for l in range(cur_maxlevel + 1,
+                               min(int(levels[nid]), lmax) + 1):
+                    adj_np[l][nid] = -1
             for j in hi:  # rare: P(level>0) ~ 1/32, strictly increasing runs
                 if levels[ids[j]] > cur_maxlevel:
                     cur_maxlevel = int(levels[ids[j]])

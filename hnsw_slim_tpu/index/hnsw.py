@@ -79,9 +79,11 @@ class HnswIndex:
                 **self.nnd_opts,
             )
         else:
-            self.graph, self.levels = HnswBuilder(self.cfg, self.max_batch).build(
-                vectors, verbose=verbose
-            )
+            builder = HnswBuilder(self.cfg, self.max_batch)
+            self.graph, self.levels = builder.build(vectors, verbose=verbose)
+            # adopt the builder's host mirror (byte-identical to the device
+            # adjacency): host_adj() then never needs the D2H pull
+            self._adj_np = builder.adj_np
 
     def _grow_capacity(self, n_new: int, lmax_new: int, bucket: int = 16384):
         """Grow vectors/adjacency/levels to a capacity bucket >= n_new.

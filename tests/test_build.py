@@ -40,23 +40,28 @@ def test_hnsw_build_search_recall():
 
 
 def test_insert_build_device_mirror_parity():
-    """The insertion builder keeps two adjacency copies: adj_np (host, the
-    returned graph) and adj_dev (device, what in-build searches traverse).
-    The device side is updated with sparse deltas (append-only column
-    scatter + full rows for inserted/overflow nodes), so any drift would
-    silently degrade build quality without failing a recall test. Assert
-    byte-exact agreement after a build that exercises both the fit
-    (append) and overflow (re-prune) reverse-connect paths."""
+    """The insertion builder keeps two adjacency copies: adj_np (the host
+    mirror convert/incremental consume) and adj_dev (device, what in-build
+    searches traverse — and now the returned graph). The device side is
+    updated with device-direct prune scatters + sparse deltas, so any drift
+    would silently degrade build quality without failing a recall test.
+    Assert byte-exact agreement on every ACTIVE row (level >= l) after a
+    build that exercises both the fit (append) and overflow (re-prune)
+    reverse-connect paths; host rows of inactive nodes are undefined by
+    contract (np.empty lazy allocation — see build())."""
     from hnsw_slim_tpu.graph.build import HnswBuilder
 
     base, _ = clustered(n=3000, dim=16, n_queries=1, seed=3)
     b = HnswBuilder(HnswConfig(M=8, ef_construction=48), max_batch=256)
-    g, _levels = b.build(base)
-    for lvl, dev in enumerate(b._adj_dev):
+    g, levels = b.build(base)
+    for lvl, dev in enumerate(g.adjs):
+        act = levels >= lvl
         np.testing.assert_array_equal(
-            np.asarray(dev), np.asarray(g.adjs[lvl]),
-            err_msg=f"device adjacency mirror diverged at level {lvl}",
+            np.asarray(dev)[act], b.adj_np[lvl][act],
+            err_msg=f"adjacency mirror diverged at level {lvl}",
         )
+        # inactive device rows must stay -1 (unreachable padding)
+        assert (np.asarray(dev)[~act] == -1).all()
 
 
 def test_hnsw_ip_metric():
