@@ -66,6 +66,11 @@ class _Batcher:
 
 
 class SlimServer:
+    # host-mirror growth quantum (rows). 262144 x 128 f32 = 134 MB: one
+    # ~20 s page-fault hit per ~260 warm 1000-vector batches instead of a
+    # full-mirror re-fault every batch.
+    HOST_GROW = 262144
+
     def __init__(
         self,
         base_vectors: np.ndarray,
@@ -120,13 +125,24 @@ class SlimServer:
         self.slim.vn = self.hnsw.vn
         if dense0 and serve_index != "hnsw":
             self.slim.densify_level0()
-        # host vector mirror for patch encoding (no device->host round trip;
-        # np.array = writable copy, np.asarray of a device buffer is read-only)
-        self.vectors_np = np.array(self.hnsw.vectors, np.float32)
-        self.deleted = np.zeros(self.hnsw.graph.n, bool)
+        # host vector mirror for patch encoding (no device->host round trip).
+        # Capacity-bucketed buffers with logical-length views: a fresh
+        # np.concatenate per /updateIndex batch re-faulted the whole ~512 MB
+        # mirror on this hypervisor-backed host (~30 s/batch of the measured
+        # warm insert time); growth now touches only the appended rows, with
+        # one amortized realloc per HOST_GROW inserts.
+        n0 = self.hnsw.graph.n
+        cap0 = n0 + self.HOST_GROW
+        self._vec_buf = np.empty((cap0, self.hnsw.vectors.shape[1]),
+                                 np.float32)
+        self._vec_buf[:n0] = np.asarray(self.hnsw.vectors)[:n0]
+        self._del_buf = np.zeros(cap0, bool)
         # external label layer (reference label_lookup_): internal slot ->
         # label; deleted slots are reused by later inserts (replace_deleted)
-        self.labels = np.arange(self.hnsw.graph.n, dtype=np.int64)
+        self._lab_buf = np.arange(cap0, dtype=np.int64)
+        self.vectors_np = self._vec_buf[:n0]
+        self.deleted = self._del_buf[:n0]
+        self.labels = self._lab_buf[:n0]
         self.next_label = int(self.hnsw.graph.n)
         self.lock = threading.Lock()
         self.batcher = _Batcher(
@@ -136,6 +152,24 @@ class SlimServer:
         self.patch_chunk_bytes = patch_chunk_bytes
         self.host, self.port = host, port
         self._httpd = None
+
+    def _ensure_host_capacity(self, n: int) -> None:
+        """Grow the host mirrors to >= n rows (amortized; see HOST_GROW)."""
+        cap = len(self._vec_buf)
+        if n <= cap:
+            return
+        new_cap = -(-n // self.HOST_GROW) * self.HOST_GROW + self.HOST_GROW
+        live = len(self.vectors_np)
+        vb = np.empty((new_cap, self._vec_buf.shape[1]), np.float32)
+        vb[:live] = self._vec_buf[:live]
+        db = np.zeros(new_cap, bool)
+        db[:live] = self._del_buf[:live]
+        lb = np.empty(new_cap, np.int64)
+        lb[:live] = self._lab_buf[:live]
+        self._vec_buf, self._del_buf, self._lab_buf = vb, db, lb
+        self.vectors_np = vb[:live]
+        self.deleted = db[:live]
+        self.labels = lb[:live]
 
     # ---- operations -------------------------------------------------
 
@@ -196,18 +230,16 @@ class SlimServer:
                     print(f"  srv timing: add_points call="
                           f"{_time.perf_counter()-t_ap:.2f}s", flush=True)
                 t_cc = _time.perf_counter()
-                self.vectors_np = np.concatenate(
-                    [self.vectors_np, new_vectors[n_reuse:]]
-                )
-                self.labels = np.concatenate(
-                    [self.labels, new_labels[n_reuse:]]
-                )
-                self.deleted = np.concatenate([
-                    self.deleted,
-                    np.zeros(self.hnsw.graph.n - len(self.deleted), bool),
-                ])
+                n_now = self.hnsw.graph.n
+                self._ensure_host_capacity(n_now)
+                self._vec_buf[prev_count:n_now] = new_vectors[n_reuse:]
+                self._lab_buf[prev_count:n_now] = new_labels[n_reuse:]
+                self._del_buf[prev_count:n_now] = False
+                self.vectors_np = self._vec_buf[:n_now]
+                self.labels = self._lab_buf[:n_now]
+                self.deleted = self._del_buf[:n_now]
                 if timing:
-                    print(f"  srv timing: concats="
+                    print(f"  srv timing: host_grow="
                           f"{_time.perf_counter()-t_cc:.2f}s", flush=True)
             self.next_label = max(
                 self.next_label, int(new_labels.max(initial=0)) + 1
