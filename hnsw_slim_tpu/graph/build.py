@@ -23,6 +23,7 @@ from jax import lax
 
 from ..config import HnswConfig
 from ..ops import distance
+from . import revconn
 from . import search as gs
 from .heuristic import prune_all, prune_batch
 from .nnd import sorted_run_rank
@@ -642,23 +643,11 @@ class HnswBuilder:
             jax.block_until_ready(vn)
             self.phase_s["setup.norms"] = _time.perf_counter() - t_setup
             t_setup = _time.perf_counter()
-        # np.empty, NOT np.full: cold first-touch page faults on this host
-        # cost ~37 s per 240 MB (hypervisor-backed memory), and np.full
-        # faulted ~840 MB of mirrors upfront (67 s of the 1M build's setup).
-        # Contract: a host-mirror row is defined only once written — every
-        # insert writes its full row at levels 0..lp_eff, node 0 and
-        # clamp-skipped upper rows are blanked explicitly below, and every
-        # consumer (convert/incremental/reverse-connect) reads only rows
-        # with level >= l. The device mirror stays -1-initialized (jnp.full)
-        # and is the source of truth for whole-array reads (save_hnsw).
-        adj_np = [np.empty((n, caps[l]), np.int32) for l in range(lmax + 1)]
-        for l in range(min(int(levels[0]), lmax) + 1):
-            adj_np[l][0] = -1  # node 0 inserts trivially: no row write
-        if timing:
-            self.phase_s["setup.host_alloc"] = _time.perf_counter() - t_setup
-            t_setup = _time.perf_counter()
-        # allocate the device mirror on device (jnp.full) — uploading the
-        # host -1 arrays cost 57 s of the 1M build's setup phase
+        # the adjacency lives on DEVICE for the whole build (jnp.full, -1
+        # init); the host mirror is pulled ONCE at the end. Host-side
+        # allocation/upload previously cost 67 s of page faults + 57 s of
+        # H2D at 1M on this hypervisor-backed host.
+        adj_np = None
         adj_dev = [
             jnp.full((n, caps[l]), -1, jnp.int32) for l in range(lmax + 1)
         ]
@@ -666,19 +655,33 @@ class HnswBuilder:
             jax.block_until_ready(adj_dev[0])
             self.phase_s["setup"] = _time.perf_counter() - t_setup
 
+        # per-level degree arrays: the fused device apply (graph/revconn.py)
+        # tracks row occupancy on device so reverse-append columns never
+        # need a host round trip
+        deg_dev = [jnp.zeros((n,), jnp.int32) for _ in range(lmax + 1)]
+        self._of_monitor = []
+
         entry = 0
         cur_maxlevel = int(levels[0])
         start = 1  # point 0 inserted trivially (no peers to link)
         entry, cur_maxlevel = self._insert_range(
             start, n, levels, entry, cur_maxlevel, vecs, vn, adj_np, adj_dev,
-            lmax, verbose,
+            lmax, verbose, deg_dev=deg_dev,
         )
-        # testing handle: the device mirror must track adj_np exactly (the
-        # sparse column scatter writes deltas only); dropped with the builder
+        self._check_overflow_monitor(verbose)
+        # testing handle: the device mirror is the source of truth; the host
+        # mirror below is its end-of-build pull
         self._adj_dev = adj_dev
-        # host mirror handover: HnswIndex adopts it as _adj_np so host_adj()
-        # never pulls the graph back through the tunnel
-        self.adj_np = adj_np
+        self._deg_dev = deg_dev
+        if timing:
+            t_setup = _time.perf_counter()
+        # ONE end-of-build D2H fills the host mirror consumers need
+        # (convert/incremental); per-batch mirror writes are gone entirely.
+        # np.array = writable copy (np.asarray of a device buffer can hand
+        # back a read-only view; replace_points writes rows in place).
+        self.adj_np = [np.array(a) for a in adj_dev]
+        if timing:
+            self.phase_s["mirror.d2h"] = _time.perf_counter() - t_setup
 
         # the device mirror IS the final adjacency — re-uploading the host
         # mirror here cost ~500 MB of H2D (~20-60 s on this tunnel) for
@@ -691,7 +694,7 @@ class HnswBuilder:
         ), levels
 
     def _insert_range(self, start, n, levels, entry, cur_maxlevel, vecs, vn,
-                      adj_np, adj_dev, lmax, verbose):
+                      adj_np, adj_dev, lmax, verbose, deg_dev=None):
         import os as _os
         import time as _time
 
@@ -700,22 +703,21 @@ class HnswBuilder:
         while done < n:
             bsz = min(self._batch_size(done), n - done)
             ids = np.arange(done, done + bsz)
-            self.touched.append(self._insert_batch(
-                ids, levels, entry, cur_maxlevel, vecs, vn, adj_np, adj_dev, lmax
-            ))
+            if deg_dev is not None:  # bulk: fused device apply, no mirror
+                self.touched.append(self._insert_batch_bulk(
+                    ids, levels, entry, cur_maxlevel, vecs, vn, adj_dev,
+                    deg_dev, lmax,
+                ))
+            else:
+                self.touched.append(self._insert_batch(
+                    ids, levels, entry, cur_maxlevel, vecs, vn, adj_np,
+                    adj_dev, lmax,
+                ))
             if timing:
                 t_out = _time.perf_counter()
             # entry-point update (hnswalg.h:1369-1374): each insert whose level
             # exceeds the running max becomes the new enterpoint, in order.
             hi = np.nonzero(levels[ids] > cur_maxlevel)[0]
-            for j in hi:
-                # rows above the insert-time clamp (lp_eff = min(lp, cur))
-                # were never written; the host mirror is lazily faulted
-                # (np.empty), so blank them to match the device's -1 rows
-                nid = int(ids[j])
-                for l in range(cur_maxlevel + 1,
-                               min(int(levels[nid]), lmax) + 1):
-                    adj_np[l][nid] = -1
             for j in hi:  # rare: P(level>0) ~ 1/32, strictly increasing runs
                 if levels[ids[j]] > cur_maxlevel:
                     cur_maxlevel = int(levels[ids[j]])
@@ -741,6 +743,133 @@ class HnswBuilder:
         # batch never exceeds current graph size: early rounds stay
         # high-quality, later rounds amortize to max_batch
         return max(1, min(cur, self.max_batch))
+
+    def _insert_batch_bulk(
+        self, ids, levels, entry, cur_maxlevel, vecs, vn, adj_dev, deg_dev,
+        lmax,
+    ):
+        """Device-resident insert batch: search + ONE fused apply per level
+        (graph/revconn.apply_insert). No host mirror writes, no per-batch
+        D2H — the host-planned path (_insert_batch below, kept for the
+        incremental add_points/replace_points flows) paid 8-12 dispatch+sync
+        pairs and ~9 MB of H2D per batch through the tunnel (~3.4 s/batch
+        of the 1M build's 659 s)."""
+        import os
+        import time as _time
+
+        timing = os.environ.get("SLIM_TIMING")
+        marks = []
+        t0 = t_batch = _time.perf_counter()
+        cfg = self.cfg
+        b = len(ids)
+        lp = levels[ids].astype(np.int32)
+        lp_eff = np.minimum(lp, cur_maxlevel)
+        ids_pad = _pad_to(ids.astype(np.int32), self.pad_batch,
+                          fill=int(ids[-1]))
+        lp_pad = _pad_to(lp_eff, self.pad_batch, fill=-1)
+        q = vecs[jnp.asarray(ids_pad)]
+        entry_dev = jnp.asarray(np.int32(entry))
+        up = np.nonzero(lp_eff >= 1)[0]
+        stages = tuple(
+            self.pad_batch // f for f in self.stages_frac
+            if self.pad_batch // f >= 32
+        )
+        _, i0 = _build_search0(
+            tuple(adj_dev), entry_dev, vecs, vn, q,
+            jnp.asarray(lp_pad == 0),
+            max_level=lmax, efc=cfg.ef_construction,
+            max_iters=2 * cfg.ef_construction + 64, metric=cfg.metric,
+            pop_width=self.pop_width, stages=stages,
+            scan_width=self.scan_width,
+        )
+        cand_up = None
+        if len(up):
+            bup = _next_pow2(max(len(up), 32))
+            up_rows = _pad_to(up.astype(np.int32), bup, fill=int(up[0]))
+            q_up = vecs[jnp.asarray(
+                _pad_to(ids[up].astype(np.int32), bup, fill=int(ids[up][0]))
+            )]
+            _, cand_up = _build_search(
+                tuple(adj_dev), entry_dev, vecs, vn, q_up,
+                jnp.asarray(_pad_to(lp_eff[up], bup, fill=-1)),
+                max_level=lmax, efc=cfg.ef_construction,
+                max_iters=2 * cfg.ef_construction + 64, metric=cfg.metric,
+            )  # device [lmax+1, bup, efc]
+            # upper-level inserts take their L0 candidates from the
+            # per-level search (dup rows write identical content)
+            i0 = i0.at[jnp.asarray(up_rows)].set(cand_up[0])
+        if timing:
+            jax.block_until_ready(i0)
+            marks.append(("search", _time.perf_counter() - t0))
+        for l in range(int(lp_eff.max(initial=0)), -1, -1):
+            if timing:
+                t0 = _time.perf_counter()
+            active = lp_eff >= l
+            if not active.any():
+                continue
+            cap_l = cfg.maxM0 if l == 0 else cfg.maxM
+            of_t, new_w = (4096, 64) if l == 0 else (1024, 32)
+            if l == 0:
+                a_pad = jnp.asarray(ids_pad)
+                cand = i0
+                n_valid = b
+            else:
+                aidx = np.nonzero(active)[0]
+                # rows of cand_up correspond to `up` order (both sorted)
+                pos = np.searchsorted(up, aidx).astype(np.int32)
+                n_valid = len(aidx)
+                psize = _next_pow2(max(n_valid, 32))
+                rowsel = _pad_to(pos, psize, fill=int(pos[0]))
+                cand = cand_up[l][jnp.asarray(rowsel)]
+                a_pad = jnp.asarray(_pad_to(
+                    ids[aidx].astype(np.int32), psize, fill=int(ids[aidx][0])
+                ))
+            adj_new, deg_new, of_e, of_tc = revconn.apply_insert(
+                adj_dev[l], deg_dev[l], vecs, vn, a_pad, cand,
+                jnp.int32(n_valid), M=cfg.M, cap=cap_l, metric=cfg.metric,
+                of_t=of_t, new_w=new_w,
+            )
+            adj_dev[l] = adj_new
+            deg_dev[l] = deg_new
+            # lazy monitoring: fetched once at end of build
+            self._of_monitor.append((l, of_e, of_tc, of_t, new_w))
+            if timing:
+                jax.block_until_ready(adj_new)
+                marks.append((f"L{l}.apply", _time.perf_counter() - t0))
+        # bound the dispatch queue: deep async queues serialize
+        # pathologically on the axon backend (bench.py NB) — one cheap
+        # device sync per batch keeps the pipeline depth at ~1
+        jax.block_until_ready(adj_dev[0])
+        if timing:
+            print("    insert_batch: " + " ".join(
+                f"{k}={v:.2f}s" for k, v in marks if v >= 0.05
+            ), flush=True)
+            marks.append(("wall", _time.perf_counter() - t_batch))
+            for k, v in marks:
+                key = k.split(".", 1)[-1]
+                self.phase_s[key] = self.phase_s.get(key, 0.0) + v
+        # bulk touched = inserted ids only (reverse targets stay on device);
+        # the incremental flows use the mirror path below instead
+        return ids.astype(np.int64)
+
+    def _check_overflow_monitor(self, verbose: bool):
+        """Fetch the per-batch overflow counters (one sync) and report
+        truncation, i.e. batches whose unique overflow targets exceeded the
+        fixed re-prune width (their excess reverse edges were dropped)."""
+        if not self._of_monitor:
+            return
+        vals = jax.device_get([(e, t) for _, e, t, _, _ in self._of_monitor])
+        trunc = sum(
+            1 for (l, _, _, cap_t, _), (e, t) in zip(self._of_monitor, vals)
+            if t > cap_t
+        )
+        if verbose or trunc:
+            tot_e = sum(int(e) for e, _ in vals)
+            max_t = max(int(t) for _, t in vals)
+            print(f"  reverse-connect overflow: {tot_e} edges re-pruned, "
+                  f"max {max_t} targets/batch, {trunc} truncated batches",
+                  flush=True)
+        self._of_monitor = []
 
     def _insert_batch(
         self, ids, levels, entry, cur_maxlevel, vecs, vn, adj_np, adj_dev, lmax

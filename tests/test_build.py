@@ -39,29 +39,41 @@ def test_hnsw_build_search_recall():
     np.testing.assert_allclose(d[valid], true_d[valid], rtol=1e-3, atol=1e-3)
 
 
-def test_insert_build_device_mirror_parity():
-    """The insertion builder keeps two adjacency copies: adj_np (the host
-    mirror convert/incremental consume) and adj_dev (device, what in-build
-    searches traverse — and now the returned graph). The device side is
-    updated with device-direct prune scatters + sparse deltas, so any drift
-    would silently degrade build quality without failing a recall test.
-    Assert byte-exact agreement on every ACTIVE row (level >= l) after a
-    build that exercises both the fit (append) and overflow (re-prune)
-    reverse-connect paths; host rows of inactive nodes are undefined by
-    contract (np.empty lazy allocation — see build())."""
+def test_insert_build_adjacency_invariants():
+    """The bulk insertion build runs entirely on device (one fused
+    apply_insert per batch/level, graph/revconn.py) with a degree array
+    driving reverse-append columns — a rank/column bug there would write
+    duplicate or out-of-range edges without failing a recall test. Assert
+    after a build that exercises both the append and the overflow-re-prune
+    paths: no duplicate ids within any row, no self-loops, all ids in
+    range, deg == row occupancy, edges left-packed, inactive rows -1, and
+    the end-of-build host mirror equals the device adjacency."""
     from hnsw_slim_tpu.graph.build import HnswBuilder
 
     base, _ = clustered(n=3000, dim=16, n_queries=1, seed=3)
     b = HnswBuilder(HnswConfig(M=8, ef_construction=48), max_batch=256)
     g, levels = b.build(base)
+    n = len(base)
     for lvl, dev in enumerate(g.adjs):
+        adj = np.asarray(dev)
         act = levels >= lvl
         np.testing.assert_array_equal(
-            np.asarray(dev)[act], b.adj_np[lvl][act],
-            err_msg=f"adjacency mirror diverged at level {lvl}",
+            adj, b.adj_np[lvl],
+            err_msg=f"host mirror pull diverged at level {lvl}",
         )
-        # inactive device rows must stay -1 (unreachable padding)
-        assert (np.asarray(dev)[~act] == -1).all()
+        assert (adj[~act] == -1).all(), "inactive rows must stay -1"
+        rows = adj[act]
+        assert rows.min() >= -1 and rows.max() < n
+        assert (rows != np.nonzero(act)[0][:, None]).all(), "self-loop"
+        # left-packed: a -1 lane is never followed by a valid lane
+        occ = rows >= 0
+        assert (occ[:, 1:] <= occ[:, :-1]).all(), "row not left-packed"
+        deg = np.asarray(b._deg_dev[lvl])[act]
+        np.testing.assert_array_equal(deg, occ.sum(axis=1))
+        # no duplicate edges within a row
+        s = np.sort(np.where(occ, rows, 2**30 + np.arange(len(rows))[:, None]
+                             * 64 + np.arange(rows.shape[1])[None]), axis=1)
+        assert (s[:, 1:] != s[:, :-1]).all(), "duplicate edge in a row"
 
 
 def test_hnsw_ip_metric():
