@@ -615,6 +615,9 @@ class HnswBuilder:
         self.touched: list[np.ndarray] = []
         # cumulative per-phase seconds across all batches (SLIM_TIMING)
         self.phase_s: dict = {}
+        # (level, of_edges, of_targets, of_t, new_w) per fused apply —
+        # lazily fetched truncation monitor (_check_overflow_monitor)
+        self._of_monitor: list = []
 
     def touched_ids(self) -> np.ndarray:
         return (np.unique(np.concatenate(self.touched))
@@ -746,14 +749,22 @@ class HnswBuilder:
 
     def _insert_batch_bulk(
         self, ids, levels, entry, cur_maxlevel, vecs, vn, adj_dev, deg_dev,
-        lmax,
+        lmax, collect=None,
     ):
         """Device-resident insert batch: search + ONE fused apply per level
         (graph/revconn.apply_insert). No host mirror writes, no per-batch
         D2H — the host-planned path (_insert_batch below, kept for the
-        incremental add_points/replace_points flows) paid 8-12 dispatch+sync
-        pairs and ~9 MB of H2D per batch through the tunnel (~3.4 s/batch
-        of the 1M build's 659 s)."""
+        replace_points flow) paid 8-12 dispatch+sync pairs and ~9 MB of H2D
+        per batch through the tunnel (~3.4 s/batch of the 1M build's 659 s).
+
+        collect: optional dict the incremental add_points flow passes to
+        learn which pre-existing rows each level's apply touched (the
+        reverse-connect targets == the forward selection's values, read back
+        from the post-apply adjacency). Collect mode also widens the
+        overflow re-prune: update batches insert into a MATURE graph whose
+        rows sit at cap, so nearly every reverse append overflows (the
+        shrink path of mutuallyConnectNewElement, hnswalg.h:618-687),
+        unlike the growing-graph bulk build where overflow is rare."""
         import os
         import time as _time
 
@@ -809,6 +820,8 @@ class HnswBuilder:
                 continue
             cap_l = cfg.maxM0 if l == 0 else cfg.maxM
             of_t, new_w = (4096, 64) if l == 0 else (1024, 32)
+            if collect is not None:
+                of_t, new_w = (16384, 32) if l == 0 else (2048, 32)
             if l == 0:
                 a_pad = jnp.asarray(ids_pad)
                 cand = i0
@@ -833,6 +846,15 @@ class HnswBuilder:
             deg_dev[l] = deg_new
             # lazy monitoring: fetched once at end of build
             self._of_monitor.append((l, of_e, of_tc, of_t, new_w))
+            if collect is not None:
+                # post-apply rows of the inserted ids == their forward
+                # selection; its values are exactly the reverse-connect
+                # targets (candidates come from the frozen pre-batch graph,
+                # so they are disjoint from this batch's ids)
+                rows = np.asarray(adj_new[a_pad])[: int(n_valid)]
+                tg = np.unique(rows[rows >= 0]).astype(np.int64)
+                ins = (ids if l == 0 else ids[aidx]).astype(np.int64)
+                collect.setdefault(l, []).extend((ins, tg))
             if timing:
                 jax.block_until_ready(adj_new)
                 marks.append((f"L{l}.apply", _time.perf_counter() - t0))

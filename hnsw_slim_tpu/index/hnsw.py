@@ -36,6 +36,11 @@ def _search_jit(adjs, entry, vectors, vn, q, *, max_level, ef, k, max_iters,
     )
 
 
+@jax.jit
+def _row_deg(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum((a >= 0).astype(jnp.int32), axis=1)
+
+
 def _compact_rows(a: np.ndarray) -> np.ndarray:
     """Left-compact -1 holes in each row (keeps fetch-width semantics)."""
     n, w = a.shape
@@ -116,6 +121,12 @@ class HnswIndex:
                         d, jnp.full((cap_new - d.shape[0], d.shape[1]), -1,
                                     jnp.int32),
                     ])
+                else:
+                    # device copy: the fused insert apply DONATES its
+                    # adjacency input, which would invalidate the buffer
+                    # self.graph.adjs still references (queries may run
+                    # concurrently against the pre-update graph)
+                    d = d.copy()
             else:
                 d = jnp.full((cap_new, caps[l]), -1, jnp.int32)
                 adj_np.append(np.full((cap_new, caps[l]), -1, np.int32))
@@ -164,22 +175,47 @@ class HnswIndex:
             marks.append(("vecs", _time.perf_counter() - t0))
             t0 = _time.perf_counter()
 
-        builder = HnswBuilder(self.cfg, self.max_batch)
+        from ..graph.build import _next_pow2, _pad_to
+
+        # pow2 pad bucket sized to the update (a 1000-vector /updateIndex
+        # batch pads to 1024, not the build's 4096 — 4x less search work);
+        # the bucket set stays small so compiled shapes are reused
+        pad = min(self.max_batch, max(512, _next_pow2(b)))
+        builder = HnswBuilder(self.cfg, self.max_batch, pad_batch=pad)
+        # row degrees from the (hole-free) adjacency: every writer keeps
+        # rows left-compacted, so occupancy == count of non-(-1) entries
+        deg_dev = [_row_deg(a) for a in adj_dev]
         entry = int(np.asarray(self.graph.entry))
         cur_maxlevel = lmax_old
         done = n_old
+        collect: dict[int, list[np.ndarray]] = {}
         while done < n_new:
             bsz = min(builder._batch_size(done), n_new - done)
             batch_ids = np.arange(done, done + bsz)
-            builder.touched.append(builder._insert_batch(
+            builder._insert_batch_bulk(
                 batch_ids, self.levels, entry, cur_maxlevel, self.vectors,
-                self.vn, adj_np, adj_dev, lmax,
-            ))
+                self.vn, adj_dev, deg_dev, lmax, collect=collect,
+            )
             for p in batch_ids:  # enterpoint update (hnswalg.h:1369-1374)
                 if self.levels[p] > cur_maxlevel:
                     cur_maxlevel = int(self.levels[p])
                     entry = int(p)
             done += bsz
+        builder._check_overflow_monitor(verbose)
+        if timing:
+            marks.append(("insert_batches", _time.perf_counter() - t0))
+            t0 = _time.perf_counter()
+        # ONE host-mirror sync per level over every touched row (inserted
+        # ids + reverse-connect targets): gather the post-apply rows, write
+        # them into the numpy mirror the server/incremental paths consume
+        touched = [np.zeros(0, np.int64)]
+        for l, parts in collect.items():
+            rows = np.unique(np.concatenate(parts))
+            touched.append(rows)
+            rp = _pad_to(rows, _next_pow2(max(len(rows), 32)),
+                         fill=int(rows[0]))
+            got = np.asarray(adj_dev[l][jnp.asarray(rp)])
+            adj_np[l][rows] = got[: len(rows)]
         self.graph = LevelGraph(
             adjs=tuple(adj_dev),
             level=jnp.asarray(self.levels),
@@ -188,11 +224,11 @@ class HnswIndex:
             n_real=n_new,
         )
         if timing:
-            marks.append(("insert_batches", _time.perf_counter() - t0))
+            marks.append(("mirror_sync", _time.perf_counter() - t0))
             print("  add_points timing: " + " ".join(
                 f"{k}={v:.2f}s" for k, v in marks
             ), flush=True)
-        return builder.touched_ids()
+        return np.unique(np.concatenate(touched))
 
     def replace_points(self, slots: np.ndarray, new_vectors: np.ndarray,
                        verbose: bool = False) -> tuple[np.ndarray, np.ndarray]:
