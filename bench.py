@@ -160,7 +160,8 @@ def main():
         idx = slim_index_from_ref(gpath, base)
         if os.environ.get("BENCH_DENSE0", "1") == "1":
             extra = idx.densify_level0()
-            log(f"dense level-0 serving layout (+{extra/1e6:.0f} MB HBM)")
+            extra += idx.densify_upper()
+            log(f"dense serving layouts (+{extra/1e6:.0f} MB HBM)")
         log(f"serving reference-built graph ({idx.index_size()} bytes)")
     else:
         from hnsw_slim_tpu.config import HnswConfig, SlimConfig

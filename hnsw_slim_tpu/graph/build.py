@@ -795,7 +795,10 @@ class HnswBuilder:
         )
         cand_up = None
         if len(up):
-            bup = _next_pow2(max(len(up), 32))
+            # floor 64: a 1000-insert batch draws ~33 upper-level points, so
+            # a floor of 32 flip-flops the pow2 bucket across updates and
+            # recompiles the upper search (~8 s each on the remote compiler)
+            bup = _next_pow2(max(len(up), 64))
             up_rows = _pad_to(up.astype(np.int32), bup, fill=int(up[0]))
             q_up = vecs[jnp.asarray(
                 _pad_to(ids[up].astype(np.int32), bup, fill=int(ids[up][0]))
@@ -831,7 +834,7 @@ class HnswBuilder:
                 # rows of cand_up correspond to `up` order (both sorted)
                 pos = np.searchsorted(up, aidx).astype(np.int32)
                 n_valid = len(aidx)
-                psize = _next_pow2(max(n_valid, 32))
+                psize = _next_pow2(max(n_valid, 64))  # floor 64: see bup
                 rowsel = _pad_to(pos, psize, fill=int(pos[0]))
                 cand = cand_up[l][jnp.asarray(rowsel)]
                 a_pad = jnp.asarray(_pad_to(

@@ -302,7 +302,8 @@ class IncrementalSlim:
     def update(self, adj_np: list[np.ndarray], levels: np.ndarray, entry: int,
                vectors, vn, touched: np.ndarray,
                level_changed: np.ndarray | None = None,
-               verbose: bool = False) -> tuple[ChalGraph, np.ndarray]:
+               verbose: bool = False,
+               device_pack: bool = True) -> tuple[ChalGraph, np.ndarray]:
         """Re-prune after `touched` vanilla rows changed (inserted nodes +
         reverse-connect targets). `level_changed`: nodes whose element level
         changed (slot reuse resamples levels) — their in-neighbors' stage-5
@@ -497,7 +498,7 @@ class IncrementalSlim:
         changed = np.unique(np.concatenate(changed_all)) if changed_all else \
             np.zeros(0, np.int64)
         t0 = tick()
-        out = self._pack()
+        out = self._pack(device=device_pack)
         if timing:
             tmarks.append(("pack", tick() - t0))
             print("  inc timing: " + " ".join(
@@ -514,7 +515,7 @@ class IncrementalSlim:
             rows, act.astype(np.int32), vectors, vn, self.metric
         )
 
-    def _pack(self) -> ChalGraph:
+    def _pack(self, device: bool = True) -> ChalGraph:
         from .prune import pack_chal_arrays
 
         out = pack_chal_arrays(
@@ -525,6 +526,7 @@ class IncrementalSlim:
             cap0=self.caps[0],
             cap=self.caps[1] if self.lmax >= 1 else self.caps[0] // 2,
             return_host=True,
+            device=device,
         )
         graph, self.host_chal = out  # host mirror: patch/persist paths read
         # it directly instead of pulling the device arrays back (D2H of
@@ -595,7 +597,8 @@ class IncrementalSlimZero:
     def update(self, adj_np: list[np.ndarray], levels: np.ndarray, entry: int,
                vectors, vn, touched: np.ndarray,
                level_changed: np.ndarray | None = None,
-               verbose: bool = False) -> tuple[ChalGraph, np.ndarray]:
+               verbose: bool = False,
+               device_pack: bool = True) -> tuple[ChalGraph, np.ndarray]:
         """Re-prune after `touched` vanilla rows changed. Returns
         (graph, changed_node_ids) — ids whose final CHAL content differs
         (the patch membership set)."""
@@ -727,7 +730,7 @@ class IncrementalSlimZero:
 
         changed = np.unique(np.concatenate(changed_all)) if changed_all else \
             np.zeros(0, np.int64)
-        return self._pack(), changed
+        return self._pack(device=device_pack), changed
 
     # ---- helpers -----------------------------------------------------------
 
@@ -805,7 +808,7 @@ class IncrementalSlimZero:
                 modified.append(int(d))
         return np.asarray(sorted(set(modified)), np.int64)
 
-    def _pack(self) -> ChalGraph:
+    def _pack(self, device: bool = True) -> ChalGraph:
         from .prune import pack_chal_arrays
 
         out = pack_chal_arrays(
@@ -816,6 +819,7 @@ class IncrementalSlimZero:
             cap0=self.caps[0],
             cap=self.caps[1] if self.lmax >= 1 else self.caps[0] // 2,
             return_host=True,
+            device=device,
         )
         graph, self.host_chal = out
         return graph

@@ -492,11 +492,17 @@ def pack_chal_arrays(
     cap0: int,
     cap: int,
     return_host: bool = False,
+    device: bool = True,
 ) -> ChalGraph:
     """Vectorized CHAL packing (hnswalg_slim.h:1088-1106): flat neighbor ids
     grouped per node, per level, with absolute prefix offsets.
     return_host=True also returns the host numpy dict (nbr/lvl_off/level)
-    so patch/persist consumers skip the device->host round trip."""
+    so patch/persist consumers skip the device->host round trip.
+    device=False skips the device upload entirely and returns a ChalGraph
+    whose nbr/lvl_off/level are the HOST numpy arrays — for serving stacks
+    that run on the dense0/dense_up layouts and keep the flat CHAL only for
+    patches/persistence (the ~130 MB re-upload per /updateIndex at 1M was
+    the single largest term of the warm update)."""
     import os
     import time as _time
 
@@ -544,9 +550,9 @@ def pack_chal_arrays(
     lvl_off32 = lvl_off.astype(np.int32)
     lvl32 = levels.astype(np.int32)
     graph = ChalGraph(
-        nbr=jnp.asarray(flat),
-        lvl_off=jnp.asarray(lvl_off32),
-        level=jnp.asarray(lvl32),
+        nbr=jnp.asarray(flat) if device else flat,
+        lvl_off=jnp.asarray(lvl_off32) if device else lvl_off32,
+        level=jnp.asarray(lvl32) if device else lvl32,
         entry=jnp.asarray(np.int32(entry)),
         max_level=int(max_level),
         threshold_level=int(threshold_level),
@@ -555,7 +561,7 @@ def pack_chal_arrays(
         # level -1 marks capacity-padding rows: logical count excludes them
         n_real=int((levels >= 0).sum()),
     )
-    if timing:
+    if timing and device:
         import jax
 
         jax.block_until_ready((graph.nbr, graph.lvl_off, graph.level))

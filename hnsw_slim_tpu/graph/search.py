@@ -64,6 +64,21 @@ def make_dense_fetch(adj_l: jnp.ndarray):
     return fetch
 
 
+def make_rank_fetch(rank: jnp.ndarray, dense_l: jnp.ndarray):
+    """Neighbor fetch through a rank indirection: `rank` i32[N_pad] maps a
+    node id to its row in `dense_l` i32[R_pad, cap] (-1 = node has no row
+    at this level). Two HBM transactions per pop (rank scalar + one row)
+    instead of per-edge scalar gathers from the flat CHAL array — the dense
+    upper-level serving layout (see index/slim.py densify_upper)."""
+
+    def fetch(v: jnp.ndarray) -> jnp.ndarray:
+        r = rank[v]
+        rows = dense_l[jnp.maximum(r, 0)]
+        return jnp.where(r[:, None] >= 0, rows, -1)
+
+    return fetch
+
+
 def make_exact_scorer(vectors, vn, q, qn, metric, precision):
     """Scorer: exact fused-matmul distances (the Slim path).
 
@@ -626,6 +641,8 @@ def chal_search(
     pop_width: int = 1,
     ef_eff: jnp.ndarray | None = None,
     dense0: jnp.ndarray | None = None,
+    dense_up: tuple | None = None,
+    rank_up: jnp.ndarray | None = None,
     allowed: jnp.ndarray | None = None,
     stages: tuple = (),
     scan_width: int = 0,
@@ -654,8 +671,17 @@ def chal_search(
     )[:, 0]
     always = jnp.ones((b,), bool)
 
+    def upper_fetch(l):
+        # dense upper serving layout (rank indirection) when provided;
+        # flat CHAL slices otherwise
+        if l > 0 and dense_up is not None and l - 1 < len(dense_up):
+            return make_rank_fetch(rank_up, dense_up[l - 1])
+        return make_chal_fetch(
+            graph_nbr, graph_lvl_off, l, cap if l > 0 else cap0
+        )
+
     for l in range(max_level, threshold_level, -1):
-        fetch = make_chal_fetch(graph_nbr, graph_lvl_off, l, cap if l > 0 else cap0)
+        fetch = upper_fetch(l)
         cur, curdist = greedy_level(
             fetch, vectors, vn, q, qn, cur, curdist, always, metric, precision
         )
@@ -680,7 +706,7 @@ def chal_search(
             # instead of W scalar gathers from the flat CHAL array
             fetch = make_dense_fetch(dense0)
         else:
-            fetch = make_chal_fetch(graph_nbr, graph_lvl_off, l, cap if l > 0 else cap0)
+            fetch = upper_fetch(l)
         if allowed is not None:
             state, h, dc, ftrack = beam_level(
                 fetch, vectors, vn, q, qn, state, always, ef, max_iters,

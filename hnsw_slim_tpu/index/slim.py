@@ -39,8 +39,8 @@ def _timed_call(search_fn, queries, k):
 )
 def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
                      threshold_level, cap0, cap, ef, k, max_iters,
-                     metric, pop_width=1, dense0=None, allowed=None,
-                     stages=(), scan_width=0):
+                     metric, pop_width=1, dense0=None, dense_up=None,
+                     rank_up=None, allowed=None, stages=(), scan_width=0):
     return gs.chal_search(
         nbr, lvl_off, entry, vectors, vn, q,
         max_level=max_level, threshold_level=threshold_level,
@@ -49,6 +49,8 @@ def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
         precision=jax.lax.Precision.HIGHEST,
         pop_width=pop_width,
         dense0=dense0,
+        dense_up=dense_up,
+        rank_up=rank_up,
         allowed=allowed,
         stages=stages,
         scan_width=scan_width,
@@ -64,7 +66,8 @@ def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
 )
 def _chal_search_dyn_jit(nbr, lvl_off, entry, vectors, vn, q, ef_eff, *,
                          max_level, threshold_level, cap0, cap, ef_max, k,
-                         max_iters, metric, pop_width=1, stages=(),
+                         max_iters, metric, pop_width=1, dense0=None,
+                         dense_up=None, rank_up=None, stages=(),
                          scan_width=0):
     return gs.chal_search(
         nbr, lvl_off, entry, vectors, vn, q,
@@ -74,6 +77,9 @@ def _chal_search_dyn_jit(nbr, lvl_off, entry, vectors, vn, q, ef_eff, *,
         precision=jax.lax.Precision.HIGHEST,
         pop_width=pop_width,
         ef_eff=ef_eff,
+        dense0=dense0,
+        dense_up=dense_up,
+        rank_up=rank_up,
         stages=stages,
         scan_width=scan_width,
     )
@@ -90,6 +96,17 @@ class HnswSlimIndex:
         self.vectors = None
         self.vn = None
         self.dense0 = None  # optional dense level-0 serving layout
+        # optional dense upper-level serving layout: rank_up i32[N_pad]
+        # (append-only row rank among level>=1 nodes, -1 below) +
+        # dense_up[l-1] i32[R_pad, cap] rows for level l (see search.
+        # make_rank_fetch). host_chal: host numpy mirror {nbr,lvl_off,level}
+        # — when set, host-side consumers (patches, checkpoints, integrity)
+        # read it instead of pulling device arrays
+        self.dense_up: tuple | None = None
+        self.rank_up = None
+        self._rank_np: np.ndarray | None = None
+        self._n_up = 0
+        self.host_chal: dict | None = None
 
     def densify_level0(self) -> int:
         """Explode the level-0 CHAL slices into a dense [N, cap0] row array.
@@ -98,12 +115,15 @@ class HnswSlimIndex:
         of extra HBM (the CHAL arrays remain the persisted format)."""
         import numpy as np
 
-        from ..persist.patch import _level_rows, to_np
+        from ..persist.patch import _level_rows
 
+        c = self._host_chal()
         n_pad = int(self.graph.level.shape[0])  # incl. node padding, so the
         # serving shape stays stable across /updateIndex growth
-        rows = _level_rows(to_np(self.graph), 0, n_pad, self.graph.cap0)
-        self.dense0 = jnp.asarray(rows.astype(np.int32))
+        n = min(n_pad, len(c["lvl_off"]))
+        rows = np.full((n_pad, self.graph.cap0), -1, np.int32)
+        rows[:n] = _level_rows(c, 0, n, self.graph.cap0)
+        self.dense0 = jnp.asarray(rows)
         return int(self.dense0.nbytes)
 
     def update_dense0(self, host_chal: dict, ids) -> None:
@@ -137,6 +157,123 @@ class HnswSlimIndex:
         self.dense0 = self.dense0.at[jnp.asarray(ids_pad)].set(
             jnp.asarray(rows_pad.astype(np.int32))
         )
+
+    def _host_chal(self) -> dict:
+        from ..persist.patch import to_np
+
+        return self.host_chal if self.host_chal is not None else to_np(
+            self.graph
+        )
+
+    def densify_upper(self, bucket: int = 4096) -> int:
+        """Build the dense upper-level serving layout: one rank indirection
+        (i32[N_pad], -1 for level-0-only nodes) + per-level dense rows
+        i32[R_pad, cap]. Upper levels hold ~1/30 of the nodes, so the whole
+        layout is a few MB at 1M — and the per-hop fetch becomes one row
+        transaction instead of per-edge scalar gathers from the flat CHAL
+        array. Ranks are append-only so /updateIndex maintains the layout
+        with O(touched) scatters (update_dense_upper)."""
+        c = self._host_chal()
+        from ..persist.patch import _subset_rows
+
+        n_pad = int(self.graph.level.shape[0])
+        lvl = np.full(n_pad, -1, np.int32)
+        lvl[: len(c["level"])] = c["level"]
+        up_ids = np.nonzero(lvl >= 1)[0]
+        rank = np.full(n_pad, -1, np.int32)
+        rank[up_ids] = np.arange(len(up_ids), dtype=np.int32)
+        r_pad = -(-max(len(up_ids), 1) // bucket) * bucket
+        dense = []
+        for l in range(1, self.graph.max_level + 1):
+            rows = np.full((r_pad, self.graph.cap), -1, np.int32)
+            sel = lvl[up_ids] >= l
+            if sel.any():
+                rows[rank[up_ids[sel]]] = _subset_rows(
+                    c, l, up_ids[sel], self.graph.cap
+                )
+            dense.append(jnp.asarray(rows))
+        self._rank_np = rank
+        self._n_up = len(up_ids)
+        self.rank_up = jnp.asarray(rank)
+        self.dense_up = tuple(dense)
+        return int(sum(d.nbytes for d in dense)) + int(self.rank_up.nbytes)
+
+    def update_dense_upper(self, host_chal: dict, ids) -> None:
+        """Refresh dense upper rows for `ids` in place: new level>=1 nodes
+        get appended ranks (scatter), changed rows scatter at their existing
+        ranks. Falls back to a full densify_upper when the graph's node
+        padding, max_level, or the rank capacity bucket changed."""
+        from ..graph.build import _next_pow2, _pad_to
+        from ..persist.patch import _subset_rows
+
+        n_pad = int(self.graph.level.shape[0])
+        lmax = self.graph.max_level
+        if (
+            self.dense_up is None
+            or self._rank_np is None
+            or len(self._rank_np) != n_pad
+            or len(self.dense_up) != lmax
+        ):
+            self.densify_upper()
+            return
+        lvl_np = host_chal["level"]
+        ids = np.unique(np.asarray(ids, np.int64))
+        ids = ids[(ids >= 0) & (ids < len(lvl_np))]
+        if not len(ids):
+            return
+        up = ids[lvl_np[ids] >= 1]
+        # slot reuse resamples levels: a node that dropped below level 1
+        # must lose its rank (else its stale dense rows stay reachable)
+        down = ids[(lvl_np[ids] < 1) & (self._rank_np[ids] >= 0)]
+        if len(down):
+            self._rank_np[down] = -1
+            cap = max(256, _next_pow2(len(down)))
+            d_pad = _pad_to(down.astype(np.int32), cap, fill=int(down[0]))
+            self.rank_up = self.rank_up.at[jnp.asarray(d_pad)].set(
+                jnp.int32(-1)
+            )
+        if not len(up):
+            return
+        fresh = up[self._rank_np[up] < 0]
+        if len(fresh):
+            r_cap = int(self.dense_up[0].shape[0])
+            if self._n_up + len(fresh) > r_cap:
+                self.densify_upper()
+                return
+            self._rank_np[fresh] = np.arange(
+                self._n_up, self._n_up + len(fresh), dtype=np.int32
+            )
+            self._n_up += len(fresh)
+            cap = max(256, _next_pow2(len(fresh)))
+            f_pad = _pad_to(fresh.astype(np.int32), cap, fill=int(fresh[0]))
+            self.rank_up = self.rank_up.at[jnp.asarray(f_pad)].set(
+                jnp.asarray(_pad_to(
+                    self._rank_np[fresh], cap,
+                    fill=int(self._rank_np[fresh][0]),
+                ))
+            )
+        for l in range(1, lmax + 1):
+            # refresh rows for nodes at this level, CLEAR rows for ranked
+            # nodes whose (possibly lowered) level no longer reaches it
+            sel = up
+            rows = np.full((len(sel), self.graph.cap), -1, np.int32)
+            at_l = lvl_np[sel] >= l
+            if at_l.any():
+                rows[at_l] = _subset_rows(
+                    host_chal, l, sel[at_l], self.graph.cap
+                )
+            ranks = self._rank_np[sel]
+            cap = max(256, _next_pow2(len(sel)))
+            r_pad = _pad_to(ranks, cap, fill=int(ranks[0]))
+            rows_pad = np.broadcast_to(rows[0], (cap, rows.shape[1])).copy()
+            rows_pad[: len(sel)] = rows
+            self.dense_up = (
+                self.dense_up[: l - 1]
+                + (self.dense_up[l - 1].at[jnp.asarray(r_pad)].set(
+                    jnp.asarray(rows_pad)
+                ),)
+                + self.dense_up[l:]
+            )
 
     @classmethod
     def from_hnsw(
@@ -212,6 +349,8 @@ class HnswSlimIndex:
                 k=k,
                 max_iters=self.scfg.iters(),
                 metric=self.metric, pop_width=self.scfg.pop_width,
+                dense0=self.dense0, dense_up=self.dense_up,
+                rank_up=self.rank_up,
                 stages=stages, scan_width=self.scfg.scan_width,
             )
             # ONE device->host transfer for all four outputs: each separate
@@ -238,7 +377,8 @@ class HnswSlimIndex:
             cap0=g.cap0, cap=g.cap, ef=ef, k=k,
             max_iters=max_iters,
             metric=self.metric, pop_width=self.scfg.pop_width,
-            dense0=self.dense0,
+            dense0=self.dense0, dense_up=self.dense_up,
+            rank_up=self.rank_up,
             allowed=allowed,
             stages=stages, scan_width=self.scfg.scan_width,
         )
@@ -269,13 +409,24 @@ class HnswSlimIndex:
             cap0=g.cap0, cap=g.cap, ef=ef, k=k,
             max_iters=self.scfg.iters(),
             metric=self.metric, pop_width=self.scfg.pop_width,
-            dense0=self.dense0,
+            dense0=self.dense0, dense_up=self.dense_up,
+            rank_up=self.rank_up,
             stages=stages, scan_width=self.scfg.scan_width,
         )
 
     def index_size(self) -> int:
         """Graph-only bytes in the reference's accounting
         (hnswalg_slim.h:2435-2443)."""
+        if self.host_chal is not None:
+            # host-resident CHAL: the device graph carries placeholder
+            # nbr/lvl_off (serving runs on dense0/dense_up); account from
+            # the host mirror with the same formula as chal_bytes
+            c = self.host_chal
+            levels = c["level"]
+            real = levels >= 0
+            total = int((c["lvl_off"][:, -1] - c["lvl_off"][:, 0]).sum())
+            return int(16 * int(real.sum()) + 2 * int(levels[real].sum())
+                       + 4 * total)
         return self.graph.chal_bytes()
 
     def check_integrity(self) -> dict:
@@ -284,11 +435,11 @@ class HnswSlimIndex:
         unless l == threshold_level. Walks EVERY node at every level (the
         reference does too) — vectorized over dense level rows instead of a
         per-node loop, so 1M nodes check in milliseconds."""
-        from ..persist.patch import _level_rows, to_np
+        from ..persist.patch import _level_rows
 
         g = self.graph
         n = g.n
-        c = to_np(g)
+        c = self._host_chal()
         levels = c["level"]
         off = c["lvl_off"]
         total_edges = 0

@@ -118,6 +118,10 @@ class FlatUnionIndex:
         self._slim.scfg = self.scfg
         return self._slim.densify_level0()
 
+    def densify_upper(self) -> int:
+        self._slim.scfg = self.scfg
+        return self._slim.densify_upper()
+
     def set_ef(self, ef: int) -> None:
         self.scfg = dataclasses.replace(self.scfg, ef=ef)
 
@@ -134,6 +138,9 @@ class FlatUnionIndex:
              + self.graph.lvl_off.nbytes + self.vn.nbytes)
         if self._slim.dense0 is not None:
             t += self._slim.dense0.nbytes
+        if self._slim.dense_up is not None:
+            t += self._slim.rank_up.nbytes
+            t += sum(d.nbytes for d in self._slim.dense_up)
         return int(t)
 
     def index_size(self) -> int:

@@ -20,6 +20,7 @@ import time
 import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import HnswConfig, SlimConfig
@@ -124,7 +125,9 @@ class SlimServer:
         self.slim.vectors = self.hnsw.vectors
         self.slim.vn = self.hnsw.vn
         if dense0 and serve_index != "hnsw":
+            self.slim.host_chal = getattr(self.inc, "host_chal", None)
             self.slim.densify_level0()
+            self.slim.densify_upper()
         # host vector mirror for patch encoding (no device->host round trip).
         # Capacity-bucketed buffers with logical-length views: a fresh
         # np.concatenate per /updateIndex batch re-faulted the whole ~512 MB
@@ -254,18 +257,52 @@ class SlimServer:
             if timing:
                 print(f"  srv timing: host_adj="
                       f"{_time.perf_counter()-t_ha:.2f}s", flush=True)
+            # dense serving layouts for BOTH level-0 and the upper levels
+            # mean the device never reads the flat CHAL arrays — the
+            # re-prune packs to host numpy only (device_pack=False) and the
+            # serving graph carries tiny device placeholders. This removes
+            # the ~130 MB nbr+lvl_off re-upload that was the largest single
+            # term of the warm /updateIndex at 1M.
+            host_mode = (
+                self.slim.dense0 is not None
+                and self.slim.dense_up is not None
+                and getattr(self.inc, "host_chal", None) is not None
+            )
             chal, changed = self.inc.update(
                 adj, np.asarray(self.hnsw.levels),
                 int(np.asarray(self.hnsw.graph.entry)),
                 self.hnsw.vectors, self.hnsw.vn,
                 touched=np.concatenate(touched),
                 level_changed=level_changed,
+                device_pack=not host_mode,
             )
             from ..graph.types import pad_chal_nodes
 
             t_pd = _time.perf_counter()
             self.chal_unpadded = chal
-            self.slim.graph = pad_chal_nodes(chal, self.node_bucket)
+            if host_mode:
+                import dataclasses as _dc
+
+                hc = self.inc.host_chal
+                n = chal.n
+                # host arrays carry the hnsw capacity padding (level -1
+                # rows); the serving pad mirrors pad_chal_nodes: round the
+                # ARRAY length up to the node bucket
+                n_src = len(hc["level"])
+                n_pad = -(-n_src // self.node_bucket) * self.node_bucket
+                lvl_pad = np.full(n_pad, -1, np.int32)
+                lvl_pad[:n_src] = hc["level"]
+                if getattr(self, "_ph", None) is None:
+                    self._ph = (jnp.zeros(8, jnp.int32),
+                                jnp.zeros((8, 8), jnp.int32))
+                self.slim.graph = _dc.replace(
+                    chal, nbr=self._ph[0], lvl_off=self._ph[1],
+                    level=jnp.asarray(lvl_pad), n_real=n,
+                )
+                self.slim.host_chal = hc
+            else:
+                self.slim.graph = pad_chal_nodes(chal, self.node_bucket)
+                self.slim.host_chal = None
             self.slim.vectors = self.hnsw.vectors
             self.slim.vn = self.hnsw.vn
             if self.slim.dense0 is not None:
@@ -274,14 +311,19 @@ class SlimServer:
                     # scatter only rows whose CHAL content changed (plus
                     # appended and reused slots) instead of re-uploading
                     # the whole [N, cap0] layout (256 MB of H2D at 1M)
-                    self.slim.update_dense0(host_chal, np.concatenate([
+                    upd_ids = np.concatenate([
                         changed,
                         np.arange(prev_count, self.hnsw.graph.n,
                                   dtype=np.int64),
                         np.asarray(reused, np.int64),
-                    ]))
+                    ])
+                    self.slim.update_dense0(host_chal, upd_ids)
+                    if self.slim.dense_up is not None:
+                        self.slim.update_dense_upper(host_chal, upd_ids)
                 else:
                     self.slim.densify_level0()
+                    if self.slim.dense_up is not None:
+                        self.slim.densify_upper()
             if timing:
                 print(f"  srv timing: pad+densify="
                       f"{_time.perf_counter()-t_pd:.2f}s", flush=True)

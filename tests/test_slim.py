@@ -196,6 +196,36 @@ def test_densify_level0_same_results():
     np.testing.assert_array_equal(dense_ids, chal_ids)
 
 
+def test_densify_upper_same_results():
+    """The dense upper serving layout (rank indirection, index/slim.py
+    densify_upper) must reproduce the flat-CHAL traversal exactly, and
+    update_dense_upper must track incremental changes including level
+    drops (rank removal)."""
+    base, queries, hnsw = _build_pair(n=2500, nq=30)
+    slim = HnswSlimIndex.from_hnsw(hnsw, SlimConfig.from_ratios())
+    slim.set_ef(64)
+    _, chal_ids = slim.search(queries, k=10)
+    slim.densify_level0()
+    slim.densify_upper()
+    assert slim.rank_up is not None and slim.dense_up is not None
+    lvl = np.asarray(slim.graph.level)
+    assert int(slim._n_up) == int((lvl >= 1).sum())
+    _, dense_ids = slim.search(queries, k=10)
+    np.testing.assert_array_equal(dense_ids, chal_ids)
+
+    # incremental maintenance: refresh a few upper rows + drop one node's
+    # level in the host mirror, then verify the device layout tracks it
+    c = slim._host_chal()
+    up_ids = np.nonzero(c["level"] >= 1)[0]
+    victim = int(up_ids[0])
+    c2 = dict(c)
+    c2["level"] = c["level"].copy()
+    c2["level"][victim] = 0
+    slim.update_dense_upper(c2, np.concatenate([up_ids[:8], [victim]]))
+    assert int(slim._rank_np[victim]) == -1
+    assert int(np.asarray(slim.rank_up)[victim]) == -1
+
+
 def test_autotune_calibrates_knobs():
     """autotune_index must (a) never pick knobs below the lossless config's
     probe recall minus slack, (b) cache per (ef, k), (c) leave scfg set to
