@@ -22,7 +22,9 @@ from .types import ChalGraph
 MAGIC = 0x48534C47
 
 
-def load_ref_slim_graph(path: str) -> ChalGraph:
+def load_ref_slim_graph(path: str, return_host: bool = False):
+    """return_host=True also returns the host {nbr, lvl_off, level} dict so
+    densify/patch consumers skip the ~130 MB D2H round trip at 1M."""
     with open(path, "rb") as f:
         data = f.read()
     magic, n, maxlevel, entry, lt, maxm, maxm0 = struct.unpack_from(
@@ -41,7 +43,7 @@ def load_ref_slim_graph(path: str) -> ChalGraph:
         e_pad = max(1024, 1 << max(0, total_edges - 1).bit_length())
         nbr = np.full(e_pad, -1, np.int32)
         nbr[:total_edges] = flat
-        return ChalGraph(
+        graph = ChalGraph(
             nbr=jnp.asarray(nbr),
             lvl_off=jnp.asarray(lvl_off32),
             level=jnp.asarray(levels),
@@ -51,6 +53,9 @@ def load_ref_slim_graph(path: str) -> ChalGraph:
             cap0=int(maxm0),
             cap=int(maxm),
         )
+        if return_host:
+            return graph, dict(nbr=nbr, lvl_off=lvl_off32, level=levels)
+        return graph
 
     levels = np.zeros(n, np.int32)
     lvl_off = np.zeros((n, maxlevel + 2), np.int64)
@@ -75,7 +80,7 @@ def load_ref_slim_graph(path: str) -> ChalGraph:
     nbr = np.full(e_pad, -1, np.int32)
     nbr[:total_edges] = flat
 
-    return ChalGraph(
+    graph = ChalGraph(
         nbr=jnp.asarray(nbr),
         lvl_off=jnp.asarray(lvl_off.astype(np.int32)),
         level=jnp.asarray(levels),
@@ -85,6 +90,10 @@ def load_ref_slim_graph(path: str) -> ChalGraph:
         cap0=int(maxm0),
         cap=int(maxm),
     )
+    if return_host:
+        return graph, dict(nbr=nbr, lvl_off=lvl_off.astype(np.int32),
+                           level=levels)
+    return graph
 
 
 HNSW_MAGIC = 0x484E5347
@@ -168,7 +177,8 @@ def slim_index_from_ref(graph_path: str, vectors: np.ndarray, metric="l2",
     from ..ops import distance
 
     idx = HnswSlimIndex(metric=metric)
-    idx.graph = load_ref_slim_graph(graph_path)
+    idx.graph, idx.host_chal = load_ref_slim_graph(graph_path,
+                                                   return_host=True)
     idx.vectors = jnp.asarray(np.asarray(vectors, np.float32))
     if store_dtype == "bfloat16":
         idx.vectors = idx.vectors.astype(jnp.bfloat16)
