@@ -110,10 +110,6 @@ class SearchConfig:
     # straggler tail costs 2-4x at 1M nodes); the auto cap trades the tail of
     # straggler recall for throughput and scales with pop_width.
     max_iters: int = 0  # 0 -> auto: (2*ef + 16) / pop_width + 8
-    # Direct-mapped per-query visited-table size (replaces the reference's
-    # epoch-tagged VisitedList, visited_list_pool.h:8-78). Collisions only cost
-    # recomputation, never correctness.
-    visited_slots: int = 1024
     # Expand this many best-unchecked entries per beam iteration
     # (DiskANN-style beamwidth; 1 = exact reference pop semantics). 4 is
     # measured fastest AND highest-recall at scale (superset expansion):

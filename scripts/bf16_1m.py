@@ -10,7 +10,7 @@ the question here is the recall cost of scoring against rounded vectors
 (distance accumulation stays f32: ops/distance.py casts gathered rows up).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bf16_1m.py
-Results recorded in README.md.
+Prints a JSON summary; measured numbers belong in README's bf16 table.
 """
 
 import dataclasses

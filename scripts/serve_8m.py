@@ -19,7 +19,7 @@ Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/serve_8m.py [tpu|bf16|mesh]
 (bf16 = tpu mode with store_dtype="bfloat16": measures the recall delta and
 HBM/QPS of the halved vector store — the Table-7 100M-recipe arithmetic.)
-Results recorded in README.md.
+Prints measured numbers; record them in README.md when run.
 """
 
 import gc
