@@ -36,7 +36,7 @@ DIM = int(os.environ.get("BENCH_DIM", 128))
 NQ = int(os.environ.get("BENCH_NQ", 1024))
 PAPER_BASELINE_QPS = 4450.0  # Table 5 client interp @95% (BASELINE.md)
 REPO = os.path.dirname(os.path.abspath(__file__))
-EFS = [32, 48, 64, 96, 128, 192, 256, 384, 512]
+EFS = [32, 48, 64, 96, 128, 192, 256, 320, 384, 512]
 TARGET = float(os.environ.get("BENCH_TARGET_RECALL", 0.95))
 try:
     HOST_CORES = len(os.sched_getaffinity(0))

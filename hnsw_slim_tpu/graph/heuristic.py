@@ -21,24 +21,34 @@ INF = jnp.float32(jnp.inf)
 
 
 def _prune_one(cand_d, pd, valid, m, keep_all_under_m: bool):
-    """Single-node prune. cand_d f32[C], pd f32[C, C] pairwise candidate
-    distances, valid bool[C], m = budget (scalar, may be traced).
-    Returns kept bool[C] and kept count."""
+    """Single-node prune over DISTANCE-SORTED inputs: cand_d f32[C] ascending
+    (invalid lanes sorted last), pd f32[C, C] pairwise candidate distances in
+    the same order, valid bool[C], m = budget (scalar, may be traced).
+    Returns kept bool[C] (in sorted positions) and kept count.
+
+    Implemented as lax.scan over the sorted walk with one-hot writes —
+    scalar dynamic indexing (order[i] gathers, kept.at[ci].set scatters)
+    inside fori_loop under vmap MISCOMPILES on the axon TPU backend
+    (round-4 diagnosis: such a loop returned first-m-by-position picks and
+    even varied with unrelated batch rows; jnp.argsort/lax.sort themselves
+    are correct). The pre-sort happens batched in _prune_batch_impl."""
     c = cand_d.shape[0]
-    masked_d = jnp.where(valid, cand_d, INF)
-    order = jnp.argsort(masked_d)
+    iota = jnp.arange(c)
 
-    def body(i, carry):
-        kept, cnt = carry
-        ci = order[i]
-        di = cand_d[ci]
+    def step(carry, x):
+        kept, cnt, i = carry
+        di, vi, pdcol = x
         # reference: reject if any kept neighbor is closer to ci than base
-        conflict = jnp.any(kept & (pd[:, ci] < di))
-        good = valid[ci] & (cnt < m) & ~conflict
-        kept = kept.at[ci].set(kept[ci] | good)
-        return kept, cnt + good.astype(jnp.int32)
+        conflict = jnp.any(kept & (pdcol < di))
+        good = vi & (cnt < m) & ~conflict
+        kept = kept | ((iota == i) & good)
+        return (kept, cnt + good.astype(jnp.int32), i + 1), None
 
-    kept, cnt = lax.fori_loop(0, c, body, (jnp.zeros((c,), bool), jnp.int32(0)))
+    (kept, cnt, _), _ = lax.scan(
+        step,
+        (jnp.zeros((c,), bool), jnp.int32(0), jnp.int32(0)),
+        (cand_d, valid, pd),  # pd rows == columns of the symmetric matrix
+    )
     if keep_all_under_m:
         # getNeighborsByHeuristic2 early-out: fewer than M candidates -> keep all
         nvalid = jnp.sum(valid.astype(jnp.int32))
@@ -49,28 +59,56 @@ def _prune_one(cand_d, pd, valid, m, keep_all_under_m: bool):
 
 
 def _prune_one_guarded(cand_d, pd, valid, guard, m):
-    """SlimZero variant (hnswalg_slimzero.h PruneByHeuristic :820-894):
-    pass 1 reserves every candidate whose in-degree guard is set,
-    unconditionally and in distance order; pass 2 fills the rest by the RNG
-    rule against ALL kept entries, capped at m total."""
+    """SlimZero variant (hnswalg_slimzero.h PruneByHeuristic :820-894) over
+    DISTANCE-SORTED inputs (see _prune_one): pass 1 reserves every candidate
+    whose in-degree guard is set, unconditionally; pass 2 fills the rest in
+    ascending distance by the RNG rule against ALL kept entries, capped at m
+    total. Scan + one-hot writes only — no in-loop dynamic indexing."""
     c = cand_d.shape[0]
-    masked_d = jnp.where(valid, cand_d, INF)
-    order = jnp.argsort(masked_d)
+    iota = jnp.arange(c)
 
     kept0 = valid & guard  # pass 1: reserved low-indegree nodes
     cnt0 = jnp.sum(kept0.astype(jnp.int32))
 
-    def body(i, carry):
-        kept, cnt = carry
-        ci = order[i]
-        di = cand_d[ci]
-        conflict = jnp.any(kept & (pd[:, ci] < di))
-        good = valid[ci] & ~guard[ci] & (cnt < m) & ~conflict
-        kept = kept.at[ci].set(kept[ci] | good)
-        return kept, cnt + good.astype(jnp.int32)
+    def step(carry, x):
+        kept, cnt, i = carry
+        di, vi, gi, pdcol = x
+        conflict = jnp.any(kept & (pdcol < di))
+        good = vi & ~gi & (cnt < m) & ~conflict
+        kept = kept | ((iota == i) & good)
+        return (kept, cnt + good.astype(jnp.int32), i + 1), None
 
-    kept, cnt = lax.fori_loop(0, c, body, (kept0, cnt0))
+    (kept, cnt, _), _ = lax.scan(
+        step, (kept0, cnt0, jnp.int32(0)), (cand_d, valid, guard, pd)
+    )
     return kept, cnt
+
+
+def _sorted_prune_inputs(vectors, vn, cand_d, valid, cand_ids, metric,
+                         precision):
+    """Batched ascending-(masked)distance reorder of the candidate arrays,
+    with the pairwise-distance tensor computed directly ON the sorted ids
+    (a second row gather from `vectors` — cheaper than permuting a [B, C, C]
+    tensor, and fp-identical since each pair's dot is computed from the same
+    two vectors). Returns (d_s, pd_s, v_s, ids_s)."""
+    b, c = cand_d.shape
+    masked = jnp.where(valid, cand_d, INF)
+    iota = lax.broadcasted_iota(jnp.int32, (b, c), 1)
+    _, perm = lax.sort((masked, iota), dimension=1, num_keys=1)
+    d_s = jnp.take_along_axis(cand_d, perm, axis=1)
+    v_s = jnp.take_along_axis(valid, perm, axis=1)
+    ids_s = jnp.take_along_axis(cand_ids, perm, axis=1)
+    safe_s = jnp.maximum(ids_s, 0)
+    cvecs_s = vectors[safe_s].astype(jnp.float32)
+    cn_s = vn[safe_s]
+    dots = jnp.einsum(
+        "bcd,bed->bce", cvecs_s, cvecs_s,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    pd_s = 1.0 - dots if metric == "ip" else (
+        cn_s[:, :, None] + cn_s[:, None, :] - 2.0 * dots
+    )
+    return d_s, pd_s, v_s, ids_s
 
 
 @functools.partial(
@@ -109,26 +147,20 @@ def _prune_batch_guarded_impl(vectors, vn, base_ids, cand_ids, valid, guard,
     cand_d = distance.gathered_dist(
         bvec, cvecs, metric, qn=bn, vn=cn, precision=precision
     )
-    dots = jnp.einsum(
-        "bcd,bed->bce", cvecs, cvecs, preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    pd = 1.0 - dots if metric == "ip" else (
-        cn[:, :, None] + cn[:, None, :] - 2.0 * dots
-    )
     valid = valid & (cand_ids >= 0) & (cand_ids != base_ids[:, None])
     if m_per_row is None:
         m_per_row = jnp.full((cand_ids.shape[0],), M, jnp.int32)
-    kept, cnt = jax.vmap(_prune_one_guarded)(cand_d, pd, valid, guard & valid,
-                                             m_per_row)
-    key = jnp.where(kept, cand_d, INF)
-    order = jnp.argsort(key, axis=1)[:, :w]
-    sel = jnp.take_along_axis(cand_ids, order, axis=1)
-    pos = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1)
-    sel = jnp.where(pos < cnt[:, None], sel, -1)
-    if sel.shape[1] < w:
-        sel = jnp.pad(sel, ((0, 0), (0, w - sel.shape[1])), constant_values=-1)
-    return sel, cnt
+    # sort guard along with the row (one extra [B, C] gather)
+    b, c = cand_d.shape
+    masked = jnp.where(valid, cand_d, INF)
+    iota = lax.broadcasted_iota(jnp.int32, (b, c), 1)
+    _, perm = lax.sort((masked, iota), dimension=1, num_keys=1)
+    g_s = jnp.take_along_axis(guard & valid, perm, axis=1)
+    d_s, pd_s, v_s, ids_s = _sorted_prune_inputs(
+        vectors, vn, cand_d, valid, cand_ids, metric, precision
+    )
+    kept, cnt = jax.vmap(_prune_one_guarded)(d_s, pd_s, v_s, g_s, m_per_row)
+    return _pack_kept(kept, cnt, d_s, ids_s, w)
 
 
 @functools.partial(
@@ -218,21 +250,15 @@ def _prune_batch_impl(vectors, vn, base_ids, cand_ids, valid, M,
     cand_d = distance.gathered_dist(
         bvec, cvecs, metric, qn=bn, vn=cn, precision=precision
     )
-    dots = jnp.einsum(
-        "bcd,bed->bce", cvecs, cvecs, preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    if metric == "ip":
-        pd = 1.0 - dots
-    else:
-        pd = cn[:, :, None] + cn[:, None, :] - 2.0 * dots
-
     valid = valid & (cand_ids >= 0) & (cand_ids != base_ids[:, None])
     if m_per_row is None:
         m_per_row = jnp.full((cand_ids.shape[0],), M, jnp.int32)
+    d_s, pd_s, v_s, ids_s = _sorted_prune_inputs(
+        vectors, vn, cand_d, valid, cand_ids, metric, precision
+    )
     kept, cnt = jax.vmap(
         lambda d, p, v, m: _prune_one(d, p, v, m, keep_all_under_m)
-    )(cand_d, pd, valid, m_per_row)
+    )(d_s, pd_s, v_s, m_per_row)
 
     if keep_pruned:
         # backfill RNG-rejected candidates (nearest first) up to the budget.
@@ -242,21 +268,29 @@ def _prune_batch_impl(vectors, vn, base_ids, cand_ids, valid, M,
         # everything and leaves rows far sparser than the insertion build's
         # (measured at 1M clustered: mean degree 16 vs 24, 2-hop GT coverage
         # 0.72 vs 0.92). The slim conversion re-prunes with its own budgets.
-        c = cand_ids.shape[1]
+        # Rows are distance-sorted here, so "nearest first" = ascending
+        # position among fill_ok lanes (a cumsum, no argsort needed).
+        c = ids_s.shape[1]
         lt = jnp.arange(c)[:, None] < jnp.arange(c)[None, :]  # [j, i]: j < i
-        eq = cand_ids[:, :, None] == cand_ids[:, None, :]  # [B, j, i]
-        dup = jnp.any(eq & valid[:, :, None] & lt[None], axis=1)
+        eq = ids_s[:, :, None] == ids_s[:, None, :]  # [B, j, i]
+        dup = jnp.any(eq & v_s[:, :, None] & lt[None], axis=1)
         dup_of_kept = jnp.any(eq & kept[:, :, None], axis=1)
-        fill_ok = valid & ~kept & ~dup & ~dup_of_kept
-        key2 = jnp.where(fill_ok, cand_d, INF)
-        rank2 = jnp.argsort(jnp.argsort(key2, axis=1), axis=1)
+        fill_ok = v_s & ~kept & ~dup & ~dup_of_kept
+        rank2 = jnp.cumsum(fill_ok.astype(jnp.int32), axis=1) - 1
         extra = fill_ok & (rank2 < (m_per_row - cnt)[:, None])
         kept = kept | extra
         cnt = cnt + jnp.sum(extra, axis=1).astype(jnp.int32)
 
-    key = jnp.where(kept, cand_d, INF)
-    order = jnp.argsort(key, axis=1)[:, :w]
-    sel = jnp.take_along_axis(cand_ids, order, axis=1)
+    return _pack_kept(kept, cnt, d_s, ids_s, w)
+
+
+def _pack_kept(kept, cnt, d_s, ids_s, w):
+    """Pack kept lanes (already distance-sorted rows) to the front with one
+    multi-operand lax.sort; -1 beyond cnt."""
+    key = jnp.where(kept, d_s, INF)
+    ids2 = jnp.where(kept, ids_s, -1)
+    _, sel_full = lax.sort((key, ids2), dimension=1, num_keys=1)
+    sel = sel_full[:, :w]
     pos = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1)
     sel = jnp.where(pos < cnt[:, None], sel, -1)
     if sel.shape[1] < w:  # fewer candidates than the requested output width

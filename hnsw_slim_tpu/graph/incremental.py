@@ -432,8 +432,18 @@ class IncrementalSlim:
                 alive = act_mask[rs] & act_mask[rt]
                 rep_extra = np.unique(rs[~alive])
                 self.repair_keys = self.repair_keys[alive]
+            # stage-4/5 working set: rows whose UNION actually changed (the
+            # key-delta's flipped sources), not all of c2 — a touched row
+            # whose stage-2 output re-pruned to the same edges has an intact
+            # union and (deterministic stages) an intact final row. On
+            # in-distribution 1000-vector batches at 1M this cuts the
+            # stages45 set ~65k -> the true-delta subset (VERDICT r3 item 6).
+            # Inactive c2 rows still pass through for the deact-clear path:
+            # a node can deactivate without any key flipping (its reverse
+            # membership in others' stage-2 rows keeps the keys alive).
+            c2_inact = c2[~act_mask[c2]]
             a_all = np.unique(
-                np.concatenate([c2, affected_src, lvl_extra, rep_extra])
+                np.concatenate([c2_inact, affected_src, lvl_extra, rep_extra])
             )
             a_ids = a_all[act_mask[a_all]]
             deact = a_all[~act_mask[a_all]]

@@ -463,6 +463,87 @@ def beam_level_scored(
     return (out, hops, dcomp, pop_state) + tail
 
 
+def beam_staged_scored(
+    fetch: Callable,
+    score_for: Callable,
+    state: BeamState,
+    active: jnp.ndarray,
+    ef: int,
+    max_iters: int,
+    pop_width: int,
+    ef_eff: jnp.ndarray | None,
+    stage_sizes: tuple,
+    scan_width: int = 0,
+    pop_state=None,
+    pop_hook_for: Callable | None = None,
+    pop_state_index: Callable | None = None,
+    pop_state_update: Callable | None = None,
+):
+    """Straggler-compacted beam with a pluggable scorer: run the full batch
+    until at most stage_sizes[0] queries remain active, then compact the
+    survivors into a stage_sizes[0]-wide sub-batch and continue (recursively
+    down the stage list). The lockstep while_loop makes every query pay the
+    slowest query's iteration count (measured 2-4x tail at 1M nodes); each
+    compaction cuts the per-iteration cost by the batch ratio while
+    preserving the exact per-query semantics (all beam updates are
+    row-local, so a query computes the same result in any batch). Iteration
+    budget (max_iters) is global across stages.
+
+    score_for(idx) returns the scorer restricted to query rows idx (None =
+    full batch); pop_hook_for(idx) likewise for the optional per-pop hook.
+    pop_state_index(pstate, idx) / pop_state_update(pstate, idx, sub) subset
+    and write back the hook's state across stages (SlimQ's exact-rerank
+    result track)."""
+    b = active.shape[0]
+    # stages >= b would make the first lockstep loop exit immediately and
+    # leave queries outside a later (smaller) stage unsearched — sanitize
+    # here so every call-site is safe, not just HnswSlimIndex.search
+    stage_sizes = tuple(sorted((s for s in stage_sizes if 0 < s < b),
+                               reverse=True))
+    hook = pop_hook_for(None) if pop_hook_for is not None else None
+    if not stage_sizes:
+        st, hops, dcomp, pstate = beam_level_scored(
+            fetch, score_for(None), state, active, ef, max_iters, pop_width,
+            ef_eff, pop_state=pop_state, pop_hook=hook,
+            scan_width=scan_width,
+        )
+        return st, hops, dcomp, pstate
+    st, hops, dcomp, pstate, done, iters = beam_level_scored(
+        fetch, score_for(None), state, active, ef, max_iters, pop_width,
+        ef_eff, pop_state=pop_state, pop_hook=hook,
+        stop_active_leq=stage_sizes[0], return_done=True,
+        scan_width=scan_width,
+    )
+    buf_d, buf_id, buf_chk = st
+    for si, bs in enumerate(stage_sizes):
+        if bs >= b:
+            continue
+        perm = jnp.argsort(done)  # stable: active queries first
+        idx = perm[:bs]
+        sub = BeamState(buf_d[idx], buf_id[idx], buf_chk[idx])
+        sub_ps = (
+            pop_state_index(pstate, idx)
+            if pop_state_index is not None else pstate
+        )
+        sub_hook = pop_hook_for(idx) if pop_hook_for is not None else None
+        nxt = stage_sizes[si + 1] if si + 1 < len(stage_sizes) else 0
+        sst, sh, sdc, sub_ps, sdone, iters = beam_level_scored(
+            fetch, score_for(idx), sub, ~done[idx], ef, max_iters, pop_width,
+            ef_eff, pop_state=sub_ps, pop_hook=sub_hook,
+            stop_active_leq=nxt, return_done=True, iter_start=iters,
+            scan_width=scan_width,
+        )
+        buf_d = buf_d.at[idx].set(sst.buf_d)
+        buf_id = buf_id.at[idx].set(sst.buf_id)
+        buf_chk = buf_chk.at[idx].set(sst.buf_chk)
+        hops = hops.at[idx].add(sh)
+        dcomp = dcomp.at[idx].add(sdc)
+        if pop_state_update is not None:
+            pstate = pop_state_update(pstate, idx, sub_ps)
+        done = done.at[idx].set(sdone)
+    return BeamState(buf_d, buf_id, buf_chk), hops, dcomp, pstate
+
+
 def beam_level_staged(
     fetch: Callable,
     vectors: jnp.ndarray,
@@ -479,59 +560,21 @@ def beam_level_staged(
     stage_sizes: tuple,
     scan_width: int = 0,
 ):
-    """Straggler-compacted beam: run the full batch until at most
-    stage_sizes[0] queries remain active, then compact the survivors into a
-    stage_sizes[0]-wide sub-batch and continue (recursively down the stage
-    list). The lockstep while_loop makes every query pay the slowest query's
-    iteration count (measured 2-4x tail at 1M nodes); each compaction cuts
-    the per-iteration cost by the batch ratio while preserving the exact
-    per-query semantics (all beam updates are row-local, so a query computes
-    the same result in any batch). Iteration budget (max_iters) is global
-    across stages."""
-    b = q.shape[0]
-    # stages >= b would make the first lockstep loop exit immediately and
-    # leave queries outside a later (smaller) stage unsearched — sanitize
-    # here so every call-site is safe, not just HnswSlimIndex.search
-    stage_sizes = tuple(sorted((s for s in stage_sizes if 0 < s < b),
-                               reverse=True))
-    if not stage_sizes:
-        score = make_exact_scorer(vectors, None, q, qn, metric, precision)
-        st, hops, dcomp, _ = beam_level_scored(
-            fetch, score, state, active, ef, max_iters, pop_width, ef_eff,
-            scan_width=scan_width,
+    """Straggler-compacted beam with exact distances (see
+    beam_staged_scored)."""
+
+    def score_for(idx):
+        if idx is None:
+            return make_exact_scorer(vectors, None, q, qn, metric, precision)
+        return make_exact_scorer(
+            vectors, None, q[idx], qn[idx], metric, precision
         )
-        return st, hops, dcomp
-    score = make_exact_scorer(vectors, None, q, qn, metric, precision)
-    st, hops, dcomp, _, done, iters = beam_level_scored(
-        fetch, score, state, active, ef, max_iters, pop_width, ef_eff,
-        stop_active_leq=stage_sizes[0], return_done=True,
-        scan_width=scan_width,
+
+    st, hops, dcomp, _ = beam_staged_scored(
+        fetch, score_for, state, active, ef, max_iters, pop_width, ef_eff,
+        stage_sizes, scan_width=scan_width,
     )
-    buf_d, buf_id, buf_chk = st
-    for si, bs in enumerate(stage_sizes):
-        if bs >= b:
-            continue
-        perm = jnp.argsort(done)  # stable: active queries first
-        idx = perm[:bs]
-        subq = q[idx]
-        subqn = qn[idx]
-        sscore = make_exact_scorer(
-            vectors, None, subq, subqn, metric, precision
-        )
-        sub = BeamState(buf_d[idx], buf_id[idx], buf_chk[idx])
-        nxt = stage_sizes[si + 1] if si + 1 < len(stage_sizes) else 0
-        sst, sh, sdc, _, sdone, iters = beam_level_scored(
-            fetch, sscore, sub, ~done[idx], ef, max_iters, pop_width,
-            ef_eff, stop_active_leq=nxt, return_done=True, iter_start=iters,
-            scan_width=scan_width,
-        )
-        buf_d = buf_d.at[idx].set(sst.buf_d)
-        buf_id = buf_id.at[idx].set(sst.buf_id)
-        buf_chk = buf_chk.at[idx].set(sst.buf_chk)
-        hops = hops.at[idx].add(sh)
-        dcomp = dcomp.at[idx].add(sdc)
-        done = done.at[idx].set(sdone)
-    return BeamState(buf_d, buf_id, buf_chk), hops, dcomp
+    return st, hops, dcomp
 
 
 def beam_level(

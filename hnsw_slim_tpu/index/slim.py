@@ -498,17 +498,29 @@ def autotune_index(idx, ef: int, k: int = 10, sample: int = 256,
 
     g = idx.graph
     n = g.n
+    vecs = getattr(idx, "vectors", None)
+    if vecs is not None:
+        vnv = idx.vn
+    else:
+        # SlimQ stores no raw vectors; probe/GT against the external
+        # rerank dataset (hnsw_slimq_strategy.h:145 setDataset)
+        if getattr(idx, "_dataset_dev", None) is None:
+            idx._dataset_dev = jnp.asarray(
+                np.asarray(idx.dataset, np.float32)
+            )
+        vecs = idx._dataset_dev
+        vnv = jnp.sum(vecs.astype(jnp.float32) ** 2, axis=1)
     if queries is None:
         # deterministic near-manifold probes: blend pairs of stored rows
         idx_a = (np.arange(sample, dtype=np.int64) * 2654435761) % n
         idx_b = (idx_a * 40503 + 12345) % n
-        va = np.asarray(idx.vectors[jnp.asarray(idx_a.astype(np.int32))])
-        vb = np.asarray(idx.vectors[jnp.asarray(idx_b.astype(np.int32))])
+        va = np.asarray(vecs[jnp.asarray(idx_a.astype(np.int32))])
+        vb = np.asarray(vecs[jnp.asarray(idx_b.astype(np.int32))])
         queries = (0.85 * va + 0.15 * vb).astype(np.float32)
     queries = np.asarray(queries, np.float32)
     if gt is None:
         _, gt = exact_topk(
-            idx.vectors, idx.vn, jnp.asarray(queries), k=k,
+            vecs, vnv, jnp.asarray(queries), k=k,
             metric=idx.metric, n_valid=n,
         )
         gt = np.asarray(gt)

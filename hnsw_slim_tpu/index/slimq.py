@@ -39,42 +39,66 @@ from .hnsw import HnswIndex
     jax.jit,
     static_argnames=(
         "max_level", "threshold_level", "cap0", "cap", "ef", "k",
-        "max_iters", "metric", "use_ex", "pop_width",
+        "max_iters", "metric", "use_ex", "pop_width", "stages", "scan_width",
     ),
 )
 def _slimq_search_jit(
     nbr, lvl_off, entry, q_rot, bin_code, ex_planes, f_add, f_rescale,
     f_add_ex, f_rescale_ex, cluster_ids, centroids_rot, dataset, q_raw, *,
     max_level, threshold_level, cap0, cap, ef, k, max_iters, metric, use_ex,
-    pop_width=1,
+    pop_width=1, dense0=None, dense_up=None, rank_up=None, stages=(),
+    scan_width=0,
 ):
+    ef_eff = None
+    if ef >= 256 and (ef & (ef - 1)):
+        # pow2 physical buffer for the bitonic merge; ef_eff keeps the pop
+        # window and termination bound at the requested ef (see chal_search)
+        ef_eff = jnp.int32(ef)
+        ef = 1 << (ef - 1).bit_length()
     b = q_rot.shape[0]
-    sumq = jnp.sum(q_rot, axis=1)
-    qn_raw = jnp.sum(q_raw.astype(jnp.float32) ** 2, axis=1) if q_raw is not None else None
+    sumq_full = jnp.sum(q_rot, axis=1)
+    qn_raw = (
+        jnp.sum(q_raw.astype(jnp.float32) ** 2, axis=1)
+        if q_raw is not None and metric == "l2" else None
+    )
     g_add_tab, _ = est.centroid_g_tables(q_rot, centroids_rot, metric)
 
-    def score(safe_ids, valid):
-        bc = bin_code[safe_ids]  # [B, W, P/32]
-        ga = jnp.take_along_axis(g_add_tab, cluster_ids[safe_ids], axis=1)
-        if use_ex:
-            d = est.est_dist_ex(
-                q_rot, sumq, bc, ex_planes[safe_ids],
-                f_add_ex[safe_ids], f_rescale_ex[safe_ids], ga,
-                ex_planes.shape[1],
-            )
-        else:
-            d = est.est_dist_1bit(
-                q_rot, sumq, bc, f_add[safe_ids], f_rescale[safe_ids], ga
-            )
-        return jnp.where(valid, d, jnp.inf)
+    def score_for(idx):
+        qr = q_rot if idx is None else q_rot[idx]
+        sq = sumq_full if idx is None else sumq_full[idx]
+        ga_tab = g_add_tab if idx is None else g_add_tab[idx]
 
+        def score(safe_ids, valid):
+            bc = bin_code[safe_ids]  # [B, W, P/32]
+            ga = jnp.take_along_axis(ga_tab, cluster_ids[safe_ids], axis=1)
+            if use_ex:
+                d = est.est_dist_ex(
+                    qr, sq, bc, ex_planes[safe_ids],
+                    f_add_ex[safe_ids], f_rescale_ex[safe_ids], ga,
+                    ex_planes.shape[1],
+                )
+            else:
+                d = est.est_dist_1bit(
+                    qr, sq, bc, f_add[safe_ids], f_rescale[safe_ids], ga
+                )
+            return jnp.where(valid, d, jnp.inf)
+
+        return score
+
+    score = score_for(None)
     cur = jnp.broadcast_to(entry.astype(jnp.int32), (b,))
     curdist = score(cur[:, None], jnp.ones((b, 1), bool))[:, 0]
     always = jnp.ones((b,), bool)
 
+    def upper_fetch(l):
+        if l > 0 and dense_up is not None and l - 1 < len(dense_up):
+            return gs.make_rank_fetch(rank_up, dense_up[l - 1])
+        return gs.make_chal_fetch(nbr, lvl_off, l, cap if l > 0 else cap0)
+
     for l in range(max_level, threshold_level, -1):
-        fetch = gs.make_chal_fetch(nbr, lvl_off, l, cap if l > 0 else cap0)
-        cur, curdist = gs.greedy_level_scored(fetch, score, cur, curdist, always)
+        cur, curdist = gs.greedy_level_scored(
+            upper_fetch(l), score, cur, curdist, always
+        )
 
     # exact-distance result track over POPPED nodes (the reference reranks
     # each popped node against the raw dataset during traversal,
@@ -82,36 +106,65 @@ def _slimq_search_jit(
     if dataset is not None:
         kk = max(k, 16)
         res0 = (jnp.full((b, kk), jnp.inf), jnp.full((b, kk), -1, jnp.int32))
-        dn = jnp.sum(dataset.astype(jnp.float32) ** 2, axis=1) if metric == "l2" else None
 
-        def pop_hook(res, pops, ok):
-            rd, ri = res
-            safe = jnp.maximum(pops, 0)
-            vecs = dataset[safe].astype(jnp.float32)
-            if metric == "ip":
-                ed = 1.0 - jnp.einsum("bd,bed->be", q_raw, vecs,
-                                      preferred_element_type=jnp.float32)
-            else:
-                ed = (qn_raw[:, None] + jnp.sum(vecs * vecs, -1)
-                      - 2.0 * jnp.einsum("bd,bed->be", q_raw, vecs,
-                                         preferred_element_type=jnp.float32))
-            dup = jnp.any(pops[:, :, None] == ri[:, None, :], axis=2)
-            ed = jnp.where(ok & ~dup, ed, jnp.inf)
-            cd = jnp.concatenate([rd, ed], axis=1)
-            ci = jnp.concatenate([ri, jnp.where(ok & ~dup, pops, -1)], axis=1)
-            sd, si = jax.lax.sort((cd, ci), dimension=1, num_keys=1)
-            return sd[:, :kk], si[:, :kk]
+        def pop_hook_for(idx):
+            qr = q_raw if idx is None else q_raw[idx]
+            qn = qn_raw if idx is None or qn_raw is None else qn_raw[idx]
+
+            def pop_hook(res, pops, ok):
+                rd, ri = res
+                safe = jnp.maximum(pops, 0)
+                vecs = dataset[safe].astype(jnp.float32)
+                if metric == "ip":
+                    ed = 1.0 - jnp.einsum("bd,bed->be", qr, vecs,
+                                          preferred_element_type=jnp.float32)
+                else:
+                    ed = (qn[:, None] + jnp.sum(vecs * vecs, -1)
+                          - 2.0 * jnp.einsum("bd,bed->be", qr, vecs,
+                                             preferred_element_type=jnp.float32))
+                dup = jnp.any(pops[:, :, None] == ri[:, None, :], axis=2)
+                ed = jnp.where(ok & ~dup, ed, jnp.inf)
+                cd = jnp.concatenate([rd, ed], axis=1)
+                ci = jnp.concatenate(
+                    [ri, jnp.where(ok & ~dup, pops, -1)], axis=1
+                )
+                sd, si = jax.lax.sort((cd, ci), dimension=1, num_keys=1)
+                return sd[:, :kk], si[:, :kk]
+
+            return pop_hook
+
+        def ps_index(res, idx):
+            return res[0][idx], res[1][idx]
+
+        def ps_update(res, idx, sub):
+            return res[0].at[idx].set(sub[0]), res[1].at[idx].set(sub[1])
     else:
-        res0, pop_hook = None, None
+        res0 = None
+        pop_hook_for = ps_index = ps_update = None
 
     state = gs.beam_init(cur, curdist, ef)
     res = res0
     for l in range(min(threshold_level, max_level), -1, -1):
-        fetch = gs.make_chal_fetch(nbr, lvl_off, l, cap if l > 0 else cap0)
-        state, _, _, res = gs.beam_level_scored(
-            fetch, score, state, always, ef, max_iters,
-            pop_width=pop_width, pop_state=res, pop_hook=pop_hook,
-        )
+        if l == 0 and dense0 is not None:
+            fetch = gs.make_dense_fetch(dense0)
+        else:
+            fetch = upper_fetch(l)
+        if l == 0 and stages:
+            state, _, _, res = gs.beam_staged_scored(
+                fetch, score_for, state, always, ef, max_iters, pop_width,
+                ef_eff, stages, scan_width=scan_width, pop_state=res,
+                pop_hook_for=pop_hook_for, pop_state_index=ps_index,
+                pop_state_update=ps_update,
+            )
+        else:
+            state, _, _, res = gs.beam_level_scored(
+                fetch, score, state, always, ef, max_iters,
+                pop_width=pop_width, ef_eff=ef_eff, pop_state=res,
+                pop_hook=(
+                    pop_hook_for(None) if pop_hook_for is not None else None
+                ),
+                scan_width=scan_width,
+            )
         if l > 0:
             state = gs.BeamState(
                 state.buf_d, state.buf_id, jnp.zeros_like(state.buf_chk)
@@ -136,6 +189,23 @@ class HnswSlimQIndex:
         self.dataset = None  # external raw vectors for rerank
         self._dataset_dev = None
         self.use_ex = False
+        # dense serving layouts (same levers as HnswSlimIndex; the methods
+        # are borrowed below — SlimQ's graph is a plain ChalGraph)
+        self.dense0 = None
+        self.dense_up: tuple | None = None
+        self.rank_up = None
+        self._rank_np = None
+        self._n_up = 0
+        self.host_chal: dict | None = None
+
+    # the dense-layout builders operate purely on (graph, host_chal,
+    # dense0/dense_up/rank_up) — borrow them from HnswSlimIndex
+    from .slim import HnswSlimIndex as _Slim
+
+    densify_level0 = _Slim.densify_level0
+    densify_upper = _Slim.densify_upper
+    _host_chal = _Slim._host_chal
+    del _Slim
 
     @classmethod
     def build(
@@ -189,6 +259,13 @@ class HnswSlimQIndex:
 
         self.scfg = dataclasses.replace(self.scfg, ef=ef)
 
+    def autotune(self, ef: int, **kw) -> dict:
+        """Per-graph serve-time knob calibration (shared with Slim; probes
+        and GT come from the external rerank dataset)."""
+        from .slim import autotune_index
+
+        return autotune_index(self, ef, **kw)
+
     def search(self, queries: np.ndarray, k: int, rerank: bool = True):
         g = self.graph
         c = self.codes
@@ -197,6 +274,10 @@ class HnswSlimQIndex:
         use_track = rerank and self.dataset is not None
         if self._dataset_dev is None and use_track:
             self._dataset_dev = jnp.asarray(self.dataset)
+        b = int(np.asarray(queries).shape[0])
+        stages = tuple(
+            b // f for f in self.scfg.straggler_stages if b // f >= 32
+        )
         d, ids = _slimq_search_jit(
             g.nbr, g.lvl_off, g.entry, q_rot,
             c.bin_code, c.ex_planes, c.f_add, c.f_rescale,
@@ -210,6 +291,8 @@ class HnswSlimQIndex:
             max_iters=self.scfg.iters(), metric=self.metric,
             use_ex=self.use_ex or self.scfg.use_ex,
             pop_width=self.scfg.pop_width,
+            dense0=self.dense0, dense_up=self.dense_up, rank_up=self.rank_up,
+            stages=stages, scan_width=self.scfg.scan_width,
         )
         d, ids = jax.device_get((d, ids))  # one transfer, one sync
         return d[:, :k], ids[:, :k]

@@ -148,20 +148,46 @@ def main():
 
         devs = np.array(jax.devices("cpu")[:8]).reshape(8, 1)
         mesh = Mesh(devs, ("shard", "dp"))
-        idx = ShardedSlimIndex.from_indexes(
-            mesh, shards, search_cfg=SearchConfig(
-                ef=64, straggler_stages=(4, 16), pop_width=8
-            )
-        )
+        scfg = SearchConfig(ef=64, straggler_stages=(4, 16), pop_width=8)
+        idx = ShardedSlimIndex.from_indexes(mesh, shards, search_cfg=scfg)
+        # same dense serving layouts as single-chip (r4: dense_up/rank_up
+        # threaded through _sharded_search_jit)
+        extra = idx.densify_level0() + idx.densify_upper()
+        print(f"mesh dense layouts: +{extra/1e6:.0f} MB", flush=True)
         nq = 128
         _, ids = idx.search(queries[:nq], k=10)  # compile + warm
         t1 = time.perf_counter()
-        _, ids = idx.search(queries[:nq], k=10)
+        d, ids = idx.search(queries[:nq], k=10)
         dt = time.perf_counter() - t1
         r = recall(ids, gt[:nq])
+
+        # mesh == flat parity AT 8M: per-shard searches merged on the host
+        # must reproduce the all_gather merge's results (same kernel knobs)
+        flat_d, flat_i = [], []
+        t2 = time.perf_counter()
+        for sub, gids in shards:
+            sub.scfg = scfg
+            sd, sids = sub.search(queries[:nq], k=10)
+            flat_d.append(np.asarray(sd))
+            flat_i.append(np.where(np.asarray(sids) >= 0,
+                                   gids[np.maximum(np.asarray(sids), 0)], -1))
+        dt_flat = time.perf_counter() - t2
+        cat_d = np.concatenate(flat_d, axis=1)
+        cat_i = np.concatenate(flat_i, axis=1)
+        order = np.argsort(cat_d, axis=1, kind="stable")[:, :10]
+        ref_d = np.take_along_axis(cat_d, order, axis=1)
+        ref_i = np.take_along_axis(cat_i, order, axis=1)
+        np.testing.assert_allclose(np.asarray(d), ref_d, rtol=1e-5, atol=1e-5)
+        mism = sum(
+            0 if set(rm.tolist()) == set(rf.tolist())
+            or np.allclose(dm, df, rtol=1e-5, atol=1e-5) else 1
+            for rm, rf, dm, df in zip(ids, ref_i, d, ref_d)
+        )
         print(json.dumps({
             "mode": "cpu_mesh_8m", "recall": round(r, 4),
             "qps_cpu_mesh": round(nq / dt), "n_queries": nq,
+            "parity_mismatch_rows": int(mism),
+            "mesh_s": round(dt, 2), "flat_per_shard_sum_s": round(dt_flat, 2),
         }), flush=True)
 
 

@@ -88,8 +88,34 @@ def test_sharded_from_prebuilt_indexes():
     sharded = ShardedSlimIndex.from_indexes(
         mesh, shard_indexes, search_cfg=SearchConfig(ef=32)
     )
+    # dense serving layouts on the mesh path (same layouts as single-chip)
+    assert sharded.densify_level0() > 0
+    sharded.densify_upper()
     bf = BruteForceIndex(base, chunk=1024)
     _, gt = bf.search(queries, k=5)
-    _, ids = sharded.search(queries, k=5)
+    d, ids = sharded.search(queries, k=5)
     hits = sum(len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt))
     assert hits / gt.size >= 0.9
+
+    # mesh == flat parity (README claim): per-shard searches merged on the
+    # host must match the shard_map + all_gather path, dense layouts on
+    flat_d, flat_i = [], []
+    for sub, gids in shard_indexes:
+        sub.scfg = SearchConfig(ef=32)
+        sub.densify_level0()
+        sub.densify_upper()
+        sd, sids = sub.search(queries, k=5)
+        flat_d.append(np.asarray(sd))
+        flat_i.append(np.where(np.asarray(sids) >= 0,
+                               gids[np.maximum(np.asarray(sids), 0)], -1))
+    cat_d = np.concatenate(flat_d, axis=1)
+    cat_i = np.concatenate(flat_i, axis=1)
+    order = np.argsort(cat_d, axis=1, kind="stable")[:, :5]
+    ref_d = np.take_along_axis(cat_d, order, axis=1)
+    ref_i = np.take_along_axis(cat_i, order, axis=1)
+    np.testing.assert_allclose(np.asarray(d), ref_d, rtol=1e-5, atol=1e-5)
+    for row_mesh, row_flat, dm, df in zip(ids, ref_i, d, ref_d):
+        # distance ties may order differently; ID multisets must agree
+        # wherever distances are untied
+        assert set(row_mesh.tolist()) == set(row_flat.tolist()) or \
+            np.allclose(dm, df, rtol=1e-5, atol=1e-5), (row_mesh, row_flat)
