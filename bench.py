@@ -36,7 +36,7 @@ DIM = int(os.environ.get("BENCH_DIM", 128))
 NQ = int(os.environ.get("BENCH_NQ", 1024))
 PAPER_BASELINE_QPS = 4450.0  # Table 5 client interp @95% (BASELINE.md)
 REPO = os.path.dirname(os.path.abspath(__file__))
-EFS = [32, 48, 64, 96, 128, 192, 256, 320, 384, 512]
+EFS = [32, 48, 64, 96, 128, 192, 256, 320, 352, 384, 512]
 TARGET = float(os.environ.get("BENCH_TARGET_RECALL", 0.95))
 try:
     HOST_CORES = len(os.sched_getaffinity(0))
@@ -177,7 +177,7 @@ def main():
     tpu_points = []
     stats_at = {}
     import dataclasses
-    idx.scfg = dataclasses.replace(idx.scfg, straggler_stages=(4, 16))
+    idx.scfg = dataclasses.replace(idx.scfg, straggler_stages=(2, 8, 32))
     for ef in EFS:
         # per-graph serve-time calibration (replaces the r2 hand-tuned per-ef
         # knob table, which was overfit to this graph and non-monotone in ef)

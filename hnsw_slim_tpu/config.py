@@ -119,8 +119,10 @@ class SearchConfig:
     # compact them into a B/frac-wide sub-batch and continue there (each
     # fraction is one extra stage). The lockstep loop makes every query pay
     # the slowest query's iterations; compaction cuts the per-iteration cost
-    # by the batch ratio with bit-identical per-query results.
-    straggler_stages: tuple = (4, 16)
+    # by the batch ratio with bit-identical per-query results. (2, 8, 32)
+    # measured fastest at the 1M 0.95 point (scripts/probe_095.py r4 sweep:
+    # +5.5% over (4, 16) — exit the full-width loop earlier, compact deeper).
+    straggler_stages: tuple = (2, 8, 32)
     # Cap on surviving candidate lanes per iteration after compaction
     # (0 = auto: max(2*ef, 128)). Pruned-graph pops yield ~7 unique new
     # neighbors each, so a tight cap shrinks the gather/score/merge width.

@@ -172,14 +172,23 @@ def hnsw_index_from_ref(graph_path: str, vectors: np.ndarray, metric="l2",
 
 
 def slim_index_from_ref(graph_path: str, vectors: np.ndarray, metric="l2",
-                        store_dtype: str = "float32"):
+                        store_dtype: str = "float32", upload: bool = True):
+    """upload=False keeps the vector store host-side (numpy) — for shards
+    that only feed a union assembly (FlatUnionIndex/ShardedSlimIndex copy
+    the vectors into their own layout; S per-shard HBM uploads at 16 x
+    512 MB would exhaust the chip before the union exists)."""
     from ..index.slim import HnswSlimIndex
     from ..ops import distance
 
     idx = HnswSlimIndex(metric=metric)
     idx.graph, idx.host_chal = load_ref_slim_graph(graph_path,
                                                    return_host=True)
-    idx.vectors = jnp.asarray(np.asarray(vectors, np.float32))
+    host = np.asarray(vectors, np.float32)
+    if not upload:
+        idx.vectors = host
+        idx.vn = (host.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
+        return idx
+    idx.vectors = jnp.asarray(host)
     if store_dtype == "bfloat16":
         idx.vectors = idx.vectors.astype(jnp.bfloat16)
     idx.vn = distance.sq_norms(idx.vectors)

@@ -180,7 +180,12 @@ class IncrementalSlim:
         lo = np.searchsorted(keys, _keys_of(ids, np.zeros_like(ids)))
         hi = np.searchsorted(keys, _keys_of(ids + 1, np.zeros_like(ids)))
         counts = hi - lo
+        # bucket the row width to a pow2 ladder: counts.max() varies per
+        # update batch, and a fresh [B, w] prune_batch shape costs a remote
+        # recompile (~1.4-1.9s per level per batch — the dominant warm-update
+        # cost before this; the -1 pad lanes are masked out downstream)
         w = max(1, int(counts.max(initial=1)))
+        w = max(64, 1 << (w - 1).bit_length())
         idx = lo[:, None] + np.arange(w)[None, :]
         valid = idx < hi[:, None]
         rows = np.where(

@@ -83,6 +83,12 @@ def main():
     slim.set_ef(128)
     _, ids = slim.search(ins[:nq], k=1)
     self_hit = float((np.asarray(ids)[:, 0] == N + np.arange(nq)).mean())
+    # self-hit tracks the graph's recall(ef) curve (a probe exactly on an
+    # inserted point is just a recall@1 query); report the headline ef too
+    slim.set_ef(384)
+    _, ids384 = slim.search(ins[:nq], k=1)
+    self_hit384 = float(
+        (np.asarray(ids384)[:, 0] == N + np.arange(nq)).mean())
     rng = np.random.default_rng(5)
     qs = (base[rng.integers(0, N, 256)]
           + rng.normal(size=(256, DIM)).astype(np.float32) * 0.05)
@@ -93,7 +99,8 @@ def main():
     gt, got = np.asarray(gt), np.asarray(got)
     rec = sum(len(set(a.tolist()) & set(b.tolist()))
               for a, b in zip(got, gt)) / gt.size
-    print(f"post-update: self-hit@1={self_hit:.4f} "
+    print(f"post-update: self-hit@1(ef=128)={self_hit:.4f} "
+          f"self-hit@1(ef=384)={self_hit384:.4f} "
           f"recall@10(ef=384)={rec:.4f}", flush=True)
 
 

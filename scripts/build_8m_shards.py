@@ -25,7 +25,8 @@ from hnsw_slim_tpu.utils.io import write_fvecs  # noqa: E402
 
 N, DIM, S = 8_000_000, 128, 8
 NQ = 1024
-OUT = "/root/repo/.bench_cache/shards8m"
+SEED = int(os.environ.get("SHARDS_SEED", 7))
+OUT = os.environ.get("SHARDS_OUT", "/root/repo/.bench_cache/shards8m")
 HARNESS = "/root/repo/parity/ref_harness"
 
 
@@ -33,7 +34,7 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     t0 = time.time()
     base, queries = clustered(N, DIM, n_queries=NQ, n_clusters=N // 1000,
-                              seed=7, scale=0.3)
+                              seed=SEED, scale=0.3)
     write_fvecs(f"{OUT}/queries.fvecs", queries)
     print(f"data gen {time.time()-t0:.0f}s", flush=True)
 
@@ -60,7 +61,7 @@ def main():
             os.remove(gpath + ".hnsw")  # 8 x 106MB not needed for serving
         print(f"shard {si}: built in {time.time()-t1:.0f}s", flush=True)
 
-    json.dump({"n": N, "dim": DIM, "shards": S, "seed": 7, "scale": 0.3,
+    json.dump({"n": N, "dim": DIM, "shards": S, "seed": SEED, "scale": 0.3,
                "nq": NQ}, open(f"{OUT}/meta.json", "w"))
     print(f"all shards done in {time.time()-t0:.0f}s", flush=True)
 

@@ -48,7 +48,8 @@ def load_shards(base):
     for si in range(S):
         gids = np.arange(si, N, S, dtype=np.int32)
         t0 = time.time()
-        idx = slim_index_from_ref(f"{OUT}/shard{si}.slimgraph", base[gids])
+        idx = slim_index_from_ref(f"{OUT}/shard{si}.slimgraph", base[gids],
+                                  upload=False)
         print(f"shard {si}: imported in {time.time()-t0:.0f}s "
               f"({idx.graph.chal_bytes()/1e6:.1f} MB graph)", flush=True)
         shards.append((idx, gids))
