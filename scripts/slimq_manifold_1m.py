@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N = int(os.environ.get("MQ_N", 1_000_000))
 DIM, NQ, LAT = 128, 1024, 24
-EFS = (32, 64, 128)
+EFS = tuple(int(e) for e in os.environ.get("MQ_EFS", "32,64,128").split(","))
 OUT = f"/root/repo/.bench_cache/slimq_manifold_{N}"
 
 
