@@ -49,17 +49,34 @@ def _compact_rows(a: np.ndarray) -> np.ndarray:
     return np.take_along_axis(a, order, axis=1)
 
 
+# NND's exact-kNN candidate sets over-prune via the RNG rule on clustered
+# data at scale (kNN recall plateaus ~0.75 at 1M — README self-build notes);
+# the reference-faithful insertion build (hnswalg.h:1248-1376 semantics)
+# stays servable. Auto-selection keeps NND's speed where it is safe.
+AUTO_NND_MAX_N = 200_000
+
+
+def resolve_build_strategy(strategy: str, n: int) -> str:
+    """Resolve "auto" to a concrete build strategy for an n-point build:
+    NN-descent below AUTO_NND_MAX_N, insertion rounds at scale."""
+    if strategy != "auto":
+        return strategy
+    return "nnd" if n < AUTO_NND_MAX_N else "insert"
+
+
 class HnswIndex:
     """Build-once, query-many vanilla HNSW.
 
-    strategy="nnd" (default): TPU-native NN-descent kNN graph + heuristic
+    strategy="auto" (default): NN-descent below AUTO_NND_MAX_N points,
+    insertion rounds at scale (resolve_build_strategy).
+    strategy="nnd": TPU-native NN-descent kNN graph + heuristic
     prune/symmetrize (graph/build.py build_by_nnd) — all-batched device work.
     strategy="insert": reference-faithful bulk-synchronous insertion rounds
     mirroring hnswalg.h addPoint.
     """
 
     def __init__(self, cfg: HnswConfig, search_cfg: SearchConfig | None = None,
-                 max_batch: int = 4096, strategy: str = "nnd",
+                 max_batch: int = 4096, strategy: str = "auto",
                  nnd_opts: dict | None = None):
         self.cfg = cfg
         self.scfg = search_cfg or SearchConfig(ef=cfg.ef_search)
@@ -76,7 +93,10 @@ class HnswIndex:
         if self.cfg.store_dtype == "bfloat16":
             self.vectors = self.vectors.astype(jnp.bfloat16)
         self.vn = distance.sq_norms(self.vectors)
-        if self.strategy == "nnd":
+        strategy = resolve_build_strategy(
+            self.strategy, int(np.asarray(vectors).shape[0])
+        )
+        if strategy == "nnd":
             from ..graph.build import build_by_nnd
 
             self.graph, self.levels = build_by_nnd(

@@ -144,20 +144,22 @@ def _slimq_search_jit(
 
     state = gs.beam_init(cur, curdist, ef)
     res = res0
+    hops = jnp.zeros((b,), jnp.int32)
+    dcomp = jnp.zeros((b,), jnp.int32)
     for l in range(min(threshold_level, max_level), -1, -1):
         if l == 0 and dense0 is not None:
             fetch = gs.make_dense_fetch(dense0)
         else:
             fetch = upper_fetch(l)
         if l == 0 and stages:
-            state, _, _, res = gs.beam_staged_scored(
+            state, h, dc, res = gs.beam_staged_scored(
                 fetch, score_for, state, always, ef, max_iters, pop_width,
                 ef_eff, stages, scan_width=scan_width, pop_state=res,
                 pop_hook_for=pop_hook_for, pop_state_index=ps_index,
                 pop_state_update=ps_update,
             )
         else:
-            state, _, _, res = gs.beam_level_scored(
+            state, h, dc, res = gs.beam_level_scored(
                 fetch, score, state, always, ef, max_iters,
                 pop_width=pop_width, ef_eff=ef_eff, pop_state=res,
                 pop_hook=(
@@ -165,13 +167,17 @@ def _slimq_search_jit(
                 ),
                 scan_width=scan_width,
             )
+        hops += h
+        dcomp += dc
         if l > 0:
             state = gs.BeamState(
                 state.buf_d, state.buf_id, jnp.zeros_like(state.buf_chk)
             )
     if dataset is not None:
-        return res[0], res[1]  # exact-distance top results over popped nodes
-    return state.buf_d, state.buf_id  # est-ranked top-ef for host rerank
+        # exact-distance top results over popped nodes
+        return res[0], res[1], hops, dcomp
+    # est-ranked top-ef for host rerank
+    return state.buf_d, state.buf_id, hops, dcomp
 
 
 class HnswSlimQIndex:
@@ -216,7 +222,7 @@ class HnswSlimQIndex:
         quant_cfg: QuantConfig | None = None,
         keep_dataset: bool = True,
         verbose: bool = False,
-        strategy: str = "nnd",
+        strategy: str = "auto",
         max_batch: int = 4096,
     ) -> "HnswSlimQIndex":
         hnsw_cfg = hnsw_cfg or HnswConfig()
@@ -278,7 +284,7 @@ class HnswSlimQIndex:
         stages = tuple(
             b // f for f in self.scfg.straggler_stages if b // f >= 32
         )
-        d, ids = _slimq_search_jit(
+        out = _slimq_search_jit(
             g.nbr, g.lvl_off, g.entry, q_rot,
             c.bin_code, c.ex_planes, c.f_add, c.f_rescale,
             c.f_add_ex, c.f_rescale_ex,
@@ -294,7 +300,13 @@ class HnswSlimQIndex:
             dense0=self.dense0, dense_up=self.dense_up, rank_up=self.rank_up,
             stages=stages, scan_width=self.scfg.scan_width,
         )
-        d, ids = jax.device_get((d, ids))  # one transfer, one sync
+        # one transfer, one sync — includes the search-effort counters
+        # (metric_hops / metric_distance_computations, hnswalg_slim.h:70-71)
+        d, ids, hops, dcomp = jax.device_get(out)
+        self.last_stats = {
+            "hops": int(hops.sum()),
+            "distance_computations": int(dcomp.sum()),
+        }
         return d[:, :k], ids[:, :k]
 
     def index_size(self) -> int:

@@ -35,7 +35,7 @@ def _local_search(nbr, lvl_off, entry, vecs, vn, gids, q, *, max_level,
                   threshold_level, cap0, cap, ef, k, max_iters, metric,
                   pop_width, stages=(), scan_width=0, dense0=None,
                   dense_up=None, rank_up=None):
-    d, i, _, _ = gs.chal_search(
+    d, i, hops, dcomp = gs.chal_search(
         nbr, lvl_off, entry, vecs, vn, q,
         max_level=max_level, threshold_level=threshold_level, cap0=cap0,
         cap=cap, ef=ef, k=k, max_iters=max_iters, metric=metric,
@@ -45,7 +45,7 @@ def _local_search(nbr, lvl_off, entry, vecs, vn, gids, q, *, max_level,
     )
     gi = jnp.where(i >= 0, gids[jnp.maximum(i, 0)], -1)
     d = jnp.where(gi >= 0, d, jnp.inf)  # padded nodes never surface
-    return d, gi
+    return d, gi, hops, dcomp
 
 
 class ShardedSlimIndex:
@@ -232,13 +232,18 @@ class ShardedSlimIndex:
         stages = tuple(
             b_loc // f for f in self.scfg.straggler_stages if b_loc // f >= 32
         )
-        d, i = _sharded_search_jit(
+        out = _sharded_search_jit(
             self.mesh, self.arrays, jnp.asarray(q), ef=ef, k=k,
             max_iters=self.scfg.iters(), metric=self.metric,
             pop_width=self.scfg.pop_width, stages=stages,
             scan_width=self.scfg.scan_width, **self.meta,
         )
-        return np.asarray(d)[:b], np.asarray(i)[:b]
+        d, i, hops, dcomp = jax.device_get(out)
+        self.last_stats = {
+            "hops": int(hops[:b].sum()),
+            "distance_computations": int(dcomp[:b].sum()),
+        }
+        return d[:b], i[:b]
 
     def save(self, path) -> None:
         """Persist the stacked shard arrays + metadata (one npz)."""
@@ -305,7 +310,7 @@ def _sharded_search_jit(mesh, arrays, q, *, ef, k, max_iters, metric,
                 dense_up[0][l] for l in range(dense_up.shape[1])
             )
         rank_up = opt.get("rank_up")
-        d, gi = _local_search(
+        d, gi, hops, dcomp = _local_search(
             nbr[0], off[0], ent[0], vecs[0], vn[0], gid[0], q,
             max_level=max_level, threshold_level=threshold_level,
             cap0=cap0, cap=cap, ef=ef, k=k, max_iters=max_iters,
@@ -323,7 +328,12 @@ def _sharded_search_jit(mesh, arrays, q, *, ef, k, max_iters, metric,
         cat_d = jnp.moveaxis(dg, 0, 1).reshape(b, s * k)
         cat_i = jnp.moveaxis(ig, 0, 1).reshape(b, s * k)
         sd, si = lax.sort((cat_d, cat_i), dimension=1, num_keys=1)
-        return sd[:, :k], si[:, :k]
+        # total per-query search effort = sum across shards (each shard
+        # traverses its own subgraph) — metric_hops/metric_distance_
+        # computations parity for the sharded path
+        hops = lax.psum(hops, "shard")
+        dcomp = lax.psum(dcomp, "shard")
+        return sd[:, :k], si[:, :k], hops, dcomp
 
     extra = tuple(P("shard") for _ in opt_keys)
     mapped = jax.shard_map(
@@ -333,7 +343,7 @@ def _sharded_search_jit(mesh, arrays, q, *, ef, k, max_iters, metric,
             P("shard"), P("shard"), P("shard"), P("shard"), P("shard"),
             P("shard"), P("dp", None),
         ) + extra,
-        out_specs=(P("dp", None), P("dp", None)),
+        out_specs=(P("dp", None), P("dp", None), P("dp"), P("dp")),
         check_vma=False,
     )
     a = arrays

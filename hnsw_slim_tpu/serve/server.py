@@ -77,7 +77,7 @@ class SlimServer:
         base_vectors: np.ndarray,
         hnsw_cfg: HnswConfig | None = None,
         slim_cfg: SlimConfig | None = None,
-        build_strategy: str = "nnd",
+        build_strategy: str = "auto",
         host: str = "0.0.0.0",
         port: int = 8080,
         patch_chunk_bytes: int = 200 * 1024 * 1024,  # hnsw_slim_server_patch.cc:154

@@ -198,10 +198,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SlimQ: traverse on ex-bit estimates "
                         "(hnswalg_slimq.h searchBaseLayerST<use_ex=true>)")
     p.add_argument("--metric", default="l2", choices=["l2", "ip"])
-    # insert = reference-faithful batched insertion (recommended at scale:
-    # NND under-converges on heavily clustered data — see README self-build)
-    p.add_argument("--build_strategy", default="insert",
-                   choices=["nnd", "insert"])
+    # auto = NND below 200k points, insertion rounds at scale (NND
+    # under-converges on heavily clustered data — see README self-build)
+    p.add_argument("--build_strategy", default="auto",
+                   choices=["auto", "nnd", "insert"])
     p.add_argument("--max_batch", type=int, default=4096)
     p.add_argument("--max_base", type=int, default=0,
                    help="build from first N base vectors (main_partial.cc)")

@@ -122,3 +122,17 @@ def test_degenerate_duplicates_and_zeros():
     d, ids = idx.search(q, k=1)
     # nearest neighbor of an exact dataset point must have distance 0
     np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-5)
+
+
+def test_auto_build_strategy_selection():
+    # defaults must pick the at-scale-servable build without a strategy knob
+    # (VERDICT r4 item 6): NND only below the convergence-safe size
+    from hnsw_slim_tpu.index.hnsw import AUTO_NND_MAX_N, resolve_build_strategy
+
+    assert resolve_build_strategy("auto", 1_000) == "nnd"
+    assert resolve_build_strategy("auto", AUTO_NND_MAX_N - 1) == "nnd"
+    assert resolve_build_strategy("auto", AUTO_NND_MAX_N) == "insert"
+    assert resolve_build_strategy("auto", 1_000_000) == "insert"
+    # explicit choices are always honored
+    assert resolve_build_strategy("insert", 100) == "insert"
+    assert resolve_build_strategy("nnd", 10_000_000) == "nnd"
