@@ -50,11 +50,12 @@ def _slimq_search_jit(
     scan_width=0,
 ):
     ef_eff = None
-    if ef >= 256 and (ef & (ef - 1)):
-        # pow2 physical buffer for the bitonic merge; ef_eff keeps the pop
-        # window and termination bound at the requested ef (see chal_search)
+    if ef >= 256 and not gs._is_bitonic_width(ef):
+        # bitonic-width physical buffer (pow2 or 3*2^k) for the merge
+        # network; ef_eff keeps the pop window and termination bound at the
+        # requested ef (see chal_search)
         ef_eff = jnp.int32(ef)
-        ef = 1 << (ef - 1).bit_length()
+        ef = gs.bitonic_buffer_width(ef)
     b = q_rot.shape[0]
     sumq_full = jnp.sum(q_rot, axis=1)
     qn_raw = (
