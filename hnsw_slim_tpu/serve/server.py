@@ -113,6 +113,11 @@ class SlimServer:
             int(np.asarray(self.hnsw.graph.entry)),
             self.hnsw.vectors, self.hnsw.vn,
         )
+        if self.hnsw.graph.n >= 200_000 and hasattr(self.inc, "prewarm"):
+            # compile every cap-reprune width bucket NOW (one-time, during
+            # startup) so no warm /updateIndex batch pays a fresh-shape
+            # remote compile (the 1-1.5s warm-update tail, VERDICT r4 #7)
+            self.inc.prewarm(self.hnsw.vectors, self.hnsw.vn)
         self.slim = HnswSlimIndex(metric=self.hnsw.cfg.metric)
         # serve a node-padded graph so the compiled search survives growth
         # across /updateIndex (same traversal; padding rows unreachable);
