@@ -35,19 +35,60 @@ from ..quant.rotator import FhtKacRotator
 from .hnsw import HnswIndex
 
 
+def pack_code_rows(codes: QuantizedCodes, cluster_ids) -> jnp.ndarray:
+    """One u32 row per node: [bin (P/32 w) | ex (ex_bits*P/32 w) |
+    f_add | f_rescale | f_add_ex | f_rescale_ex (bitcast f32) | cluster_id].
+
+    The SoA layout cost ~6 HBM gather TRANSACTIONS per scored candidate
+    (bin + ex + 4 factors + cluster id); row-gather cost on this chip is
+    per-transaction, independent of row bytes (scripts/exp_gather.py), so
+    packing everything the estimator needs into one row is a ~6x cut on the
+    scoring path's HBM transactions (VERDICT r4 next #3)."""
+    n = codes.bin_code.shape[0]
+    bc = jax.lax.bitcast_convert_type
+    parts = [codes.bin_code]
+    if codes.ex_bits:
+        parts.append(codes.ex_planes.reshape(n, -1))
+    parts.append(
+        bc(
+            jnp.stack(
+                [codes.f_add, codes.f_rescale, codes.f_add_ex,
+                 codes.f_rescale_ex], axis=1,
+            ),
+            jnp.uint32,
+        )
+    )
+    parts.append(cluster_ids.astype(jnp.uint32)[:, None])
+    return jnp.concatenate(parts, axis=1)
+
+
+def _unpack_fields(rows: jnp.ndarray, nb: int, ex_bits: int):
+    """rows u32[B, W, R] -> (bin, ex, f_add, f_rescale, f_add_ex,
+    f_rescale_ex, cluster_id) views."""
+    bc = jax.lax.bitcast_convert_type
+    b, w, _ = rows.shape
+    off = nb + ex_bits * nb
+    ex = (
+        rows[..., nb:off].reshape(b, w, ex_bits, nb) if ex_bits else None
+    )
+    fl = bc(rows[..., off:off + 4], jnp.float32)
+    cid = rows[..., off + 4].astype(jnp.int32)
+    return rows[..., :nb], ex, fl[..., 0], fl[..., 1], fl[..., 2], fl[..., 3], cid
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "max_level", "threshold_level", "cap0", "cap", "ef", "k",
         "max_iters", "metric", "use_ex", "pop_width", "stages", "scan_width",
+        "nb", "ex_bits",
     ),
 )
 def _slimq_search_jit(
-    nbr, lvl_off, entry, q_rot, bin_code, ex_planes, f_add, f_rescale,
-    f_add_ex, f_rescale_ex, cluster_ids, centroids_rot, dataset, q_raw, *,
-    max_level, threshold_level, cap0, cap, ef, k, max_iters, metric, use_ex,
-    pop_width=1, dense0=None, dense_up=None, rank_up=None, stages=(),
-    scan_width=0,
+    nbr, lvl_off, entry, q_rot, packed, centroids_rot, dataset, q_raw, *,
+    nb, ex_bits, max_level, threshold_level, cap0, cap, ef, k, max_iters,
+    metric, use_ex, pop_width=1, dense0=None, dense_up=None, rank_up=None,
+    stages=(), scan_width=0,
 ):
     ef_eff = None
     if ef >= 256 and not gs._is_bitonic_width(ef):
@@ -64,24 +105,29 @@ def _slimq_search_jit(
     )
     g_add_tab, _ = est.centroid_g_tables(q_rot, centroids_rot, metric)
 
+    n_clusters = centroids_rot.shape[0]
+
     def score_for(idx):
         qr = q_rot if idx is None else q_rot[idx]
         sq = sumq_full if idx is None else sumq_full[idx]
         ga_tab = g_add_tab if idx is None else g_add_tab[idx]
 
         def score(safe_ids, valid):
-            bc = bin_code[safe_ids]  # [B, W, P/32]
-            ga = jnp.take_along_axis(ga_tab, cluster_ids[safe_ids], axis=1)
+            # ONE row gather fetches code planes + factors + cluster id
+            rows = packed[safe_ids]  # [B, W, R]
+            bc, ex, fa, fr, fae, fre, cid = _unpack_fields(rows, nb, ex_bits)
+            # g_add select: one-hot over the 16 clusters (take_along_axis
+            # lowers to ~10ns per-ELEMENT gathers on this backend)
+            onehot = (
+                cid[:, :, None]
+                == jnp.arange(n_clusters, dtype=jnp.int32)[None, None, :]
+            ).astype(jnp.float32)
+            ga = jnp.einsum("bwc,bc->bw", onehot, ga_tab,
+                            preferred_element_type=jnp.float32)
             if use_ex:
-                d = est.est_dist_ex(
-                    qr, sq, bc, ex_planes[safe_ids],
-                    f_add_ex[safe_ids], f_rescale_ex[safe_ids], ga,
-                    ex_planes.shape[1],
-                )
+                d = est.est_dist_ex(qr, sq, bc, ex, fae, fre, ga, ex_bits)
             else:
-                d = est.est_dist_1bit(
-                    qr, sq, bc, f_add[safe_ids], f_rescale[safe_ids], ga
-                )
+                d = est.est_dist_1bit(qr, sq, bc, fa, fr, ga)
             return jnp.where(valid, d, jnp.inf)
 
         return score
@@ -195,6 +241,7 @@ class HnswSlimQIndex:
         self.centroids_rot = None  # f32[C, P]
         self.dataset = None  # external raw vectors for rerank
         self._dataset_dev = None
+        self._packed = None  # lazy pack_code_rows cache
         self.use_ex = False
         # dense serving layouts (same levers as HnswSlimIndex; the methods
         # are borrowed below — SlimQ's graph is a plain ChalGraph)
@@ -281,18 +328,20 @@ class HnswSlimQIndex:
         use_track = rerank and self.dataset is not None
         if self._dataset_dev is None and use_track:
             self._dataset_dev = jnp.asarray(self.dataset)
+        if self._packed is None:
+            self._packed = jax.block_until_ready(
+                pack_code_rows(c, self.cluster_ids)
+            )
         b = int(np.asarray(queries).shape[0])
         stages = tuple(
             b // f for f in self.scfg.straggler_stages if b // f >= 32
         )
         out = _slimq_search_jit(
-            g.nbr, g.lvl_off, g.entry, q_rot,
-            c.bin_code, c.ex_planes, c.f_add, c.f_rescale,
-            c.f_add_ex, c.f_rescale_ex,
-            self.cluster_ids,
+            g.nbr, g.lvl_off, g.entry, q_rot, self._packed,
             self.centroids_rot,
             self._dataset_dev if use_track else None,
             jnp.asarray(np.asarray(queries, np.float32)) if use_track else None,
+            nb=int(c.bin_code.shape[1]), ex_bits=int(c.ex_bits),
             max_level=g.max_level, threshold_level=g.threshold_level,
             cap0=g.cap0, cap=g.cap, ef=ef, k=k,
             max_iters=self.scfg.iters(), metric=self.metric,

@@ -99,21 +99,42 @@ def main():
         ref_points, ref_bytes = {}, 0
 
     t0 = time.time()
-    idx = HnswSlimQIndex.build(
-        base, HnswConfig(M=32, ef_construction=128),
-        SlimConfig(top_M0=32, low_m0=8, top_M=16, low_m=4),
-        QuantConfig(total_bits=4),
-        strategy="insert" if N > 200_000 else "nnd",
-    )
-    print(f"tpu slimq build: {time.time()-t0:.0f}s", flush=True)
+    ckpt = f"{OUT}/slimq.npz"
+    if os.path.exists(ckpt):
+        from hnsw_slim_tpu.persist.checkpoint import load_slimq
+
+        idx = load_slimq(ckpt)
+        idx.set_dataset(base)
+        print(f"tpu slimq load: {time.time()-t0:.0f}s", flush=True)
+    else:
+        idx = HnswSlimQIndex.build(
+            base, HnswConfig(M=32, ef_construction=128),
+            SlimConfig(top_M0=32, low_m0=8, top_M=16, low_m=4),
+            QuantConfig(total_bits=4),
+            strategy="insert" if N > 200_000 else "nnd",
+        )
+        print(f"tpu slimq build: {time.time()-t0:.0f}s", flush=True)
+        from hnsw_slim_tpu.persist.checkpoint import save_slimq
+
+        save_slimq(ckpt, idx)
     fp32_equiv = idx.graph.chal_bytes() + base.nbytes  # Slim-fp32 serving set
     print(f"index bytes (graph+codes, no raw vectors): {idx.index_size()/1e6:.1f} MB"
           f"  vs slim-fp32 {fp32_equiv/1e6:.1f} MB "
           f"-> {fp32_equiv/idx.index_size():.2f}x reduction", flush=True)
 
+    import dataclasses
+
+    idx.densify_level0()
+    idx.densify_upper()
+    idx.scfg = dataclasses.replace(idx.scfg, straggler_stages=(2, 8, 32))
     points = {}
     for rerank in (True, False):
+        if not rerank and os.environ.get("MQ_EST", "1") == "0":
+            continue
         for ef in EFS:
+            tune = idx.autotune(ef)
+            print(f"  autotune ef={ef}: {tune['knobs']} "
+                  f"probe_recall={tune['probe_recall']:.4f}", flush=True)
             idx.set_ef(ef)
             _, ids = idx.search(queries, k=10, rerank=rerank)
             times = []
