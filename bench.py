@@ -33,11 +33,17 @@ import time
 
 N = int(os.environ.get("BENCH_N", 1_000_000))
 DIM = int(os.environ.get("BENCH_DIM", 128))
-NQ = int(os.environ.get("BENCH_NQ", 1024))
+NQ = int(os.environ.get("BENCH_NQ", 4096))
 PAPER_BASELINE_QPS = 4450.0  # Table 5 client interp @95% (BASELINE.md)
 REPO = os.path.dirname(os.path.abspath(__file__))
-EFS = [32, 48, 64, 96, 128, 192, 256, 320, 352, 384, 512]
+EFS = [32, 48, 64, 80, 96, 128, 192, 256, 320, 384, 512]
 TARGET = float(os.environ.get("BENCH_TARGET_RECALL", 0.95))
+# exact-seed width: the upper levels are replaced by ONE fused distance
+# matmul over all level>=1 nodes (~N/16 rows on the reference graph) whose
+# top-SEED results seed the base beam — the TPU-native hierarchy (the MXU
+# scores the whole upper layer faster than pointer-chasing it; r5 sweep:
+# ef=64/seed=32 serves 19.1k qps @0.9706 vs 8.2k @0.9506 unseeded ef=320)
+SEED_WIDTH = int(os.environ.get("BENCH_SEED_WIDTH", 32))
 try:
     HOST_CORES = len(os.sched_getaffinity(0))
 except AttributeError:
@@ -177,7 +183,9 @@ def main():
     tpu_points = []
     stats_at = {}
     import dataclasses
-    idx.scfg = dataclasses.replace(idx.scfg, straggler_stages=(2, 8, 32))
+    idx.scfg = dataclasses.replace(
+        idx.scfg, straggler_stages=(2, 8, 32), seed_width=SEED_WIDTH
+    )
     for ef in EFS:
         # per-graph serve-time calibration (replaces the r2 hand-tuned per-ef
         # knob table, which was overfit to this graph and non-monotone in ef)
@@ -239,6 +247,7 @@ def main():
         "n": N,
         "dim": DIM,
         "batch": NQ,
+        "seed_width": SEED_WIDTH,
     }
     print(json.dumps(out))
 

@@ -127,6 +127,11 @@ class SearchConfig:
     # (0 = auto: max(2*ef, 128)). Pruned-graph pops yield ~7 unique new
     # neighbors each, so a tight cap shrinks the gather/score/merge width.
     scan_width: int = 0
+    # Multi-seed base layer: > 1 (with threshold_level 0) runs level 1 as a
+    # seed_width-wide beam and seeds the L0 buffer with ALL its survivors
+    # instead of the single greedy-descent entry (diversity against
+    # cluster-local minima; strict superset of the 1-seed traversal).
+    seed_width: int = 0
     # dynamic_ef: compile ONE program with an ef_max-wide buffer and pass the
     # runtime ef as data — set_ef becomes compile-free (the reference's setEf)
     # at the cost of always paying the ef_max sort width.

@@ -736,6 +736,9 @@ def chal_search(
     allowed: jnp.ndarray | None = None,
     stages: tuple = (),
     scan_width: int = 0,
+    seed_width: int = 0,
+    up_vecs: jnp.ndarray | None = None,
+    up_ids: jnp.ndarray | None = None,
 ):
     """Full Slim query path (hnswalg_slim.h searchKnn :2030-2131):
     greedy descent for levels max_level..threshold_level+1, beam search for
@@ -745,6 +748,15 @@ def chal_search(
     track, which also sets the termination bound (k-guarantee).
     `stages`: straggler-compaction sub-batch sizes for the base-layer beam
     (see beam_level_staged); () = single lockstep loop.
+    `seed_width` > 1 (with threshold_level == 0): seed the base layer with
+    seed_width entries instead of the single greedy-descent entry —
+    multi-seed diversity against cluster-local minima (measured +0.32
+    recall@10 at fixed ef=48 on 20k clustered). With `up_vecs`/`up_ids`
+    (the vectors and ids of ALL level>=1 nodes, ~N/32 rows) the seeds are
+    the EXACT top-seed_width upper nodes from one fused [B, n_up] distance
+    matmul — the TPU-native replacement for the whole upper-level descent
+    (one MXU pass, no iterations). Without the table, level 1 runs as a
+    seed_width-wide beam (fallback for engines without raw vectors).
     Returns (dists f32[B, k], ids i32[B, k]) sorted ascending."""
     if ef >= 256 and not _is_bitonic_width(ef) and ef_eff is None:
         # round the physical buffer up to the next bitonic-merge width
@@ -772,15 +784,60 @@ def chal_search(
             graph_nbr, graph_lvl_off, l, cap if l > 0 else cap0
         )
 
-    for l in range(max_level, threshold_level, -1):
-        fetch = upper_fetch(l)
-        cur, curdist = greedy_level(
-            fetch, vectors, vn, q, qn, cur, curdist, always, metric, precision
-        )
-
-    state = beam_init(cur, curdist, ef)
     hops = jnp.zeros((b,), jnp.int32)
     dcomp = jnp.zeros((b,), jnp.int32)
+    seed_state = None
+    seed_width = min(seed_width, ef)
+    use_seed = seed_width > 1 and threshold_level == 0 and max_level >= 1
+    if use_seed and up_vecs is not None:
+        # exact top-S upper seeds from ONE fused distance matmul over all
+        # level>=1 nodes (~N/32 rows) — replaces every upper level
+        dmat = distance.pairwise_dist(
+            q, up_vecs, metric, qn=qn, precision=precision
+        )
+        dmat = jnp.where((up_ids >= 0)[None, :], dmat, INF)  # row padding
+        negd, pos = lax.top_k(-dmat, seed_width)
+        sd = -negd
+        si = up_ids[pos]
+        dcomp += jnp.sum((up_ids >= 0).astype(jnp.int32))
+        seed_state = BeamState(sd, si, jnp.zeros_like(si))
+    else:
+        for l in range(max_level, threshold_level, -1):
+            fetch = upper_fetch(l)
+            if l == 1 and use_seed:
+                st1 = beam_init(cur, curdist, seed_width)
+                st1, h, dc = beam_level(
+                    fetch, vectors, vn, q, qn, st1, always,
+                    seed_width, max_iters, metric, precision,
+                    pop_width=min(4, seed_width),
+                )
+                hops += h
+                dcomp += dc
+                seed_state = st1
+                break
+            cur, curdist = greedy_level(
+                fetch, vectors, vn, q, qn, cur, curdist, always, metric,
+                precision,
+            )
+
+    if seed_state is not None:
+        pad = ef - seed_width
+        state = BeamState(
+            jnp.concatenate(
+                [seed_state.buf_d, jnp.full((b, pad), INF)], axis=1
+            ),
+            jnp.concatenate(
+                [seed_state.buf_id, jnp.full((b, pad), -1, jnp.int32)],
+                axis=1,
+            ),
+            jnp.zeros((b, ef), jnp.int32),
+        )
+        # the allowed-track seed below keys off (cur, curdist); keep them
+        # coherent with the best seed
+        cur = seed_state.buf_id[:, 0]
+        curdist = seed_state.buf_d[:, 0]
+    else:
+        state = beam_init(cur, curdist, ef)
     ftrack = None
     if allowed is not None:
         # seed the allowed-only track with the beam seed (the reference adds

@@ -35,12 +35,14 @@ def _timed_call(search_fn, queries, k):
     static_argnames=(
         "max_level", "threshold_level", "cap0", "cap", "ef", "k",
         "max_iters", "metric", "pop_width", "stages", "scan_width",
+        "seed_width",
     ),
 )
 def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
                      threshold_level, cap0, cap, ef, k, max_iters,
                      metric, pop_width=1, dense0=None, dense_up=None,
-                     rank_up=None, allowed=None, stages=(), scan_width=0):
+                     rank_up=None, allowed=None, stages=(), scan_width=0,
+                     seed_width=0, up_vecs=None, up_ids=None):
     return gs.chal_search(
         nbr, lvl_off, entry, vectors, vn, q,
         max_level=max_level, threshold_level=threshold_level,
@@ -54,6 +56,9 @@ def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
         allowed=allowed,
         stages=stages,
         scan_width=scan_width,
+        seed_width=seed_width,
+        up_vecs=up_vecs,
+        up_ids=up_ids,
     )
 
 
@@ -62,13 +67,15 @@ def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
     static_argnames=(
         "max_level", "threshold_level", "cap0", "cap", "ef_max", "k",
         "max_iters", "metric", "pop_width", "stages", "scan_width",
+        "seed_width",
     ),
 )
 def _chal_search_dyn_jit(nbr, lvl_off, entry, vectors, vn, q, ef_eff, *,
                          max_level, threshold_level, cap0, cap, ef_max, k,
                          max_iters, metric, pop_width=1, dense0=None,
                          dense_up=None, rank_up=None, stages=(),
-                         scan_width=0):
+                         scan_width=0, seed_width=0, up_vecs=None,
+                         up_ids=None):
     return gs.chal_search(
         nbr, lvl_off, entry, vectors, vn, q,
         max_level=max_level, threshold_level=threshold_level,
@@ -82,6 +89,9 @@ def _chal_search_dyn_jit(nbr, lvl_off, entry, vectors, vn, q, ef_eff, *,
         rank_up=rank_up,
         stages=stages,
         scan_width=scan_width,
+        seed_width=seed_width,
+        up_vecs=up_vecs,
+        up_ids=up_ids,
     )
 
 
@@ -107,6 +117,11 @@ class HnswSlimIndex:
         self._rank_np: np.ndarray | None = None
         self._n_up = 0
         self.host_chal: dict | None = None
+        # exact-seed table (seed_width > 1): vectors + ids of all level>=1
+        # nodes, keyed by graph identity so /updateIndex growth rebuilds it
+        self.up_vecs = None
+        self.up_ids = None
+        self._up_for = None
 
     def densify_level0(self) -> int:
         """Explode the level-0 CHAL slices into a dense [N, cap0] row array.
@@ -319,6 +334,26 @@ class HnswSlimIndex:
         """Per-graph serve-time knob calibration — see autotune_index."""
         return autotune_index(self, ef, **kw)
 
+    def _seed_table(self):
+        """(up_vecs f32[n_up_pad, d], up_ids i32[n_up_pad]) over all
+        level>=1 nodes — the one-matmul exact upper seed (chal_search
+        seed_width). ~N/32 rows; rebuilt when the graph object changes."""
+        if self.up_ids is None or self._up_for is not id(self.graph):
+            lv = (
+                self.host_chal["level"] if self.host_chal is not None
+                else np.asarray(self.graph.level)
+            )
+            ids = np.nonzero(np.asarray(lv) >= 1)[0].astype(np.int32)
+            pad = max(64, 1 << max(0, len(ids) - 1).bit_length())
+            idp = np.full(pad, -1, np.int32)
+            idp[: len(ids)] = ids
+            self.up_ids = jnp.asarray(idp)
+            self.up_vecs = jax.block_until_ready(
+                self.vectors[jnp.asarray(np.maximum(idp, 0))]
+            )
+            self._up_for = id(self.graph)
+        return self.up_vecs, self.up_ids
+
     def search(self, queries: np.ndarray, k: int,
                filter_mask: np.ndarray | None = None,
                entry: jnp.ndarray | None = None):
@@ -339,6 +374,10 @@ class HnswSlimIndex:
         stages = tuple(
             b // f for f in self.scfg.straggler_stages if b // f >= 32
         )
+        up_vecs = up_ids = None
+        if self.scfg.seed_width > 1 and g.threshold_level == 0 \
+                and g.max_level >= 1:
+            up_vecs, up_ids = self._seed_table()
         if self.scfg.dynamic_ef and filter_mask is None:
             out = _chal_search_dyn_jit(
                 g.nbr, g.lvl_off, ent, self.vectors, self.vn,
@@ -352,6 +391,8 @@ class HnswSlimIndex:
                 dense0=self.dense0, dense_up=self.dense_up,
                 rank_up=self.rank_up,
                 stages=stages, scan_width=self.scfg.scan_width,
+                seed_width=self.scfg.seed_width,
+                up_vecs=up_vecs, up_ids=up_ids,
             )
             # ONE device->host transfer for all four outputs: each separate
             # np.asarray is a ~30 ms sync round-trip on this tunnel (the
@@ -381,6 +422,8 @@ class HnswSlimIndex:
             rank_up=self.rank_up,
             allowed=allowed,
             stages=stages, scan_width=self.scfg.scan_width,
+            seed_width=self.scfg.seed_width,
+            up_vecs=up_vecs, up_ids=up_ids,
         )
         # ONE device->host transfer (see dynamic_ef branch note)
         d, i, hops, dcomp = jax.device_get(out)

@@ -57,13 +57,15 @@ def main():
                    for a, b in zip(ids, g)) / g.size
 
     for cfg in CFGS:
-        bs, ef, pop, scan, fs = cfg.split(":")
+        parts = cfg.split(":")
+        bs, ef, pop, scan, fs = parts[:5]
+        seed = int(parts[5]) if len(parts) > 5 else 0
         b, ef, pop, scan = int(bs), int(ef), int(pop), int(scan)
         stages = tuple(int(x) for x in fs.split(","))
         q = queries[:b]
         idx.scfg = dataclasses.replace(
             idx.scfg, ef=ef, straggler_stages=stages,
-            scan_width=scan, pop_width=pop,
+            scan_width=scan, pop_width=pop, seed_width=seed,
         )
         t0 = time.perf_counter()
         _, ids = idx.search(q, k=10)  # compile + warm
@@ -74,7 +76,7 @@ def main():
             idx.search(q, k=10)
             dt.append(time.perf_counter() - t0)
         dt = min(dt)
-        print(f"B={b:5d} ef={ef} pop={pop} scan={scan} f={fs}: "
+        print(f"B={b:5d} ef={ef} pop={pop} scan={scan} f={fs} seed={seed}: "
               f"recall={recall(ids, gt[:b]):.4f} qps={b/dt:.0f} "
               f"hops={idx.last_stats['hops']} "
               f"dcomp={idx.last_stats['distance_computations']} "

@@ -58,6 +58,7 @@ _SLOW_TESTS = {
     "test_slim_ip_metric",
     "test_beam_search_knn_graph_recall",
     "test_hnsw_ip_metric",
+    "test_seed_width_recall_and_superset",
 }
 
 

@@ -117,6 +117,46 @@ def test_greedy_descent_moves_to_local_min():
         assert dv <= dn.min() + 1e-5
 
 
+def test_seed_width_recall_and_superset():
+    """Exact-seed multi-entry (seed_width + up table) must (a) never return
+    ids worse than the unseeded search's termination bound allows, and (b)
+    lift recall on clustered data (the cluster-local-minimum failure mode
+    it exists for). Uses chal_search directly with a 2-level graph."""
+    from hnsw_slim_tpu.config import HnswConfig, SlimConfig
+    from hnsw_slim_tpu.index.hnsw import HnswIndex
+    from hnsw_slim_tpu.index.slim import HnswSlimIndex
+    from hnsw_slim_tpu.utils.data import clustered
+    import dataclasses
+
+    base, queries = clustered(8000, 24, n_queries=64, n_clusters=40,
+                              seed=3, scale=0.3)
+    h = HnswIndex(HnswConfig(M=10, ef_construction=48), strategy="insert")
+    h.build(base)
+    idx = HnswSlimIndex.from_hnsw(
+        h, SlimConfig.from_ratios(top_M0=16, Mm_ratio=25, level_ratio=50)
+    )
+    bf = BruteForceIndex(base)
+    _, gt = bf.search(queries, k=10)
+
+    def recall(ids):
+        return sum(
+            len(set(a.tolist()) & set(b.tolist()))
+            for a, b in zip(np.asarray(ids), gt)
+        ) / gt.size
+
+    idx.scfg = dataclasses.replace(idx.scfg, ef=32, pop_width=4)
+    _, ids0 = idx.search(queries, k=10)
+    idx.scfg = dataclasses.replace(idx.scfg, seed_width=16)
+    _, ids1 = idx.search(queries, k=10)
+    r0, r1 = recall(ids0), recall(ids1)
+    assert r1 >= r0, (r0, r1)
+    assert r1 >= min(r0 + 0.05, 0.95), (r0, r1)
+    # up table rebuilds when the graph object changes (serving growth)
+    assert idx.up_ids is not None
+    n_up = int(np.sum(np.asarray(h.levels) >= 1))
+    assert int(np.sum(np.asarray(idx.up_ids) >= 0)) == n_up
+
+
 def test_bitonic_buffer_width():
     assert gs.bitonic_buffer_width(320) == 384
     assert gs.bitonic_buffer_width(352) == 384
