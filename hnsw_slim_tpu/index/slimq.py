@@ -81,14 +81,15 @@ def _unpack_fields(rows: jnp.ndarray, nb: int, ex_bits: int):
     static_argnames=(
         "max_level", "threshold_level", "cap0", "cap", "ef", "k",
         "max_iters", "metric", "use_ex", "pop_width", "stages", "scan_width",
-        "nb", "ex_bits",
+        "nb", "ex_bits", "seed_width",
     ),
 )
 def _slimq_search_jit(
     nbr, lvl_off, entry, q_rot, packed, centroids_rot, dataset, q_raw, *,
     nb, ex_bits, max_level, threshold_level, cap0, cap, ef, k, max_iters,
     metric, use_ex, pop_width=1, dense0=None, dense_up=None, rank_up=None,
-    stages=(), scan_width=0,
+    stages=(), scan_width=0, seed_width=0, up_bits=None, up_fac=None,
+    up_onehot=None, up_ids=None,
 ):
     ef_eff = None
     if ef >= 256 and not gs._is_bitonic_width(ef):
@@ -142,10 +143,30 @@ def _slimq_search_jit(
             return gs.make_rank_fetch(rank_up, dense_up[l - 1])
         return gs.make_chal_fetch(nbr, lvl_off, l, cap if l > 0 else cap0)
 
-    for l in range(max_level, threshold_level, -1):
-        cur, curdist = gs.greedy_level_scored(
-            upper_fetch(l), score, cur, curdist, always
+    seed_width = min(seed_width, ef)
+    seed_state = None
+    if (seed_width > 1 and threshold_level == 0 and max_level >= 1
+            and up_bits is not None):
+        # exact-seed analog for the quantized engine: the 1-bit estimate to
+        # EVERY level>=1 node is one matmul over the unpacked bit planes
+        # (est is linear in q_rot) + one [B,16]x[16,n_up] g_add matmul
+        ip_up = jnp.einsum("bp,up->bu", q_rot, up_bits,
+                           preferred_element_type=jnp.float32)
+        ga_up = jnp.einsum("bc,uc->bu", g_add_tab, up_onehot,
+                           preferred_element_type=jnp.float32)
+        est_up = up_fac[:, 0][None, :] + ga_up + up_fac[:, 1][None, :] * (
+            ip_up - 0.5 * sumq_full[:, None]
         )
+        est_up = jnp.where((up_ids >= 0)[None, :], est_up, jnp.inf)
+        negd, pos = jax.lax.top_k(-est_up, seed_width)
+        seed_state = gs.BeamState(
+            -negd, up_ids[pos], jnp.zeros((b, seed_width), jnp.int32)
+        )
+    else:
+        for l in range(max_level, threshold_level, -1):
+            cur, curdist = gs.greedy_level_scored(
+                upper_fetch(l), score, cur, curdist, always
+            )
 
     # exact-distance result track over POPPED nodes (the reference reranks
     # each popped node against the raw dataset during traversal,
@@ -189,10 +210,25 @@ def _slimq_search_jit(
         res0 = None
         pop_hook_for = ps_index = ps_update = None
 
-    state = gs.beam_init(cur, curdist, ef)
+    if seed_state is not None:
+        pad = ef - seed_width
+        state = gs.BeamState(
+            jnp.concatenate(
+                [seed_state.buf_d, jnp.full((b, pad), jnp.inf)], axis=1
+            ),
+            jnp.concatenate(
+                [seed_state.buf_id, jnp.full((b, pad), -1, jnp.int32)],
+                axis=1,
+            ),
+            jnp.zeros((b, ef), jnp.int32),
+        )
+    else:
+        state = gs.beam_init(cur, curdist, ef)
     res = res0
     hops = jnp.zeros((b,), jnp.int32)
     dcomp = jnp.zeros((b,), jnp.int32)
+    if seed_state is not None:
+        dcomp += jnp.sum((up_ids >= 0).astype(jnp.int32))
     for l in range(min(threshold_level, max_level), -1, -1):
         if l == 0 and dense0 is not None:
             fetch = gs.make_dense_fetch(dense0)
@@ -242,6 +278,13 @@ class HnswSlimQIndex:
         self.dataset = None  # external raw vectors for rerank
         self._dataset_dev = None
         self._packed = None  # lazy pack_code_rows cache
+        # exact-seed tables over level>=1 nodes (scfg.seed_width > 1):
+        # unpacked 1-bit planes + (f_add, f_rescale) + cluster one-hot
+        self.up_bits = None
+        self.up_fac = None
+        self.up_onehot = None
+        self.up_ids = None
+        self._up_for = None
         self.use_ex = False
         # dense serving layouts (same levers as HnswSlimIndex; the methods
         # are borrowed below — SlimQ's graph is a plain ChalGraph)
@@ -320,6 +363,35 @@ class HnswSlimQIndex:
 
         return autotune_index(self, ef, **kw)
 
+    def _seed_table(self):
+        """Seed tables for the one-matmul upper-layer estimate (see
+        _slimq_search_jit seed path); rebuilt when the graph changes."""
+        import jax
+
+        if self.up_ids is None or self._up_for is not id(self.graph):
+            from ..quant import estimator as est
+
+            lv = np.asarray(self.graph.level)
+            ids = np.nonzero(lv >= 1)[0].astype(np.int32)
+            pad = max(64, 1 << max(0, len(ids) - 1).bit_length())
+            idp = np.full(pad, -1, np.int32)
+            idp[: len(ids)] = ids
+            safe = jnp.asarray(np.maximum(idp, 0))
+            self.up_bits = jax.block_until_ready(
+                est.unpack_bits(self.codes.bin_code[safe])
+            )
+            self.up_fac = jnp.stack(
+                [self.codes.f_add[safe], self.codes.f_rescale[safe]], axis=1
+            )
+            cid = np.asarray(self.cluster_ids)[np.maximum(idp, 0)]
+            n_c = int(self.centroids_rot.shape[0])
+            self.up_onehot = jnp.asarray(
+                (cid[:, None] == np.arange(n_c)[None, :]).astype(np.float32)
+            )
+            self.up_ids = jnp.asarray(idp)
+            self._up_for = id(self.graph)
+        return self.up_bits, self.up_fac, self.up_onehot, self.up_ids
+
     def search(self, queries: np.ndarray, k: int, rerank: bool = True):
         g = self.graph
         c = self.codes
@@ -336,12 +408,19 @@ class HnswSlimQIndex:
         stages = tuple(
             b // f for f in self.scfg.straggler_stages if b // f >= 32
         )
+        up_bits = up_fac = up_onehot = up_ids = None
+        if self.scfg.seed_width > 1 and g.threshold_level == 0 \
+                and g.max_level >= 1:
+            up_bits, up_fac, up_onehot, up_ids = self._seed_table()
         out = _slimq_search_jit(
             g.nbr, g.lvl_off, g.entry, q_rot, self._packed,
             self.centroids_rot,
             self._dataset_dev if use_track else None,
             jnp.asarray(np.asarray(queries, np.float32)) if use_track else None,
             nb=int(c.bin_code.shape[1]), ex_bits=int(c.ex_bits),
+            seed_width=self.scfg.seed_width,
+            up_bits=up_bits, up_fac=up_fac, up_onehot=up_onehot,
+            up_ids=up_ids,
             max_level=g.max_level, threshold_level=g.threshold_level,
             cap0=g.cap0, cap=g.cap, ef=ef, k=k,
             max_iters=self.scfg.iters(), metric=self.metric,
