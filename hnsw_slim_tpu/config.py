@@ -132,6 +132,11 @@ class SearchConfig:
     # instead of the single greedy-descent entry (diversity against
     # cluster-local minima; strict superset of the 1-seed traversal).
     seed_width: int = 0
+    # Stratified seeds: > 1 splits the up table into that many equal
+    # segments (shards of a union graph) and picks seed_width/strata seeds
+    # per segment — disconnected shard components are only reachable
+    # through seeds (parallel/flat_union.py sets this to S).
+    seed_strata: int = 0
     # dynamic_ef: compile ONE program with an ef_max-wide buffer and pass the
     # runtime ef as data — set_ef becomes compile-free (the reference's setEf)
     # at the cost of always paying the ef_max sort width.

@@ -739,6 +739,7 @@ def chal_search(
     seed_width: int = 0,
     up_vecs: jnp.ndarray | None = None,
     up_ids: jnp.ndarray | None = None,
+    seed_strata: int = 0,
 ):
     """Full Slim query path (hnswalg_slim.h searchKnn :2030-2131):
     greedy descent for levels max_level..threshold_level+1, beam search for
@@ -796,9 +797,29 @@ def chal_search(
             q, up_vecs, metric, qn=qn, precision=precision
         )
         dmat = jnp.where((up_ids >= 0)[None, :], dmat, INF)  # row padding
-        negd, pos = lax.top_k(-dmat, seed_width)
-        sd = -negd
-        si = up_ids[pos]
+        if seed_strata > 1:
+            # stratified selection: top-(seed_width/strata) upper nodes PER
+            # stratum (= per shard segment of the up table) — a union of
+            # disconnected shard graphs is only reachable through seeds, so
+            # every shard must get some (parallel/flat_union.py; global
+            # top-k concentrates in the query's nearest shards and strands
+            # the rest)
+            u = up_ids.shape[0] // seed_strata
+            sps = max(1, seed_width // seed_strata)
+            seed_width = sps * seed_strata
+            negd, pos = lax.top_k(-dmat.reshape(b, seed_strata, u), sps)
+            sd = (-negd).reshape(b, seed_width)
+            flat_pos = (
+                pos + (jnp.arange(seed_strata, dtype=jnp.int32) * u)[
+                    None, :, None]
+            ).reshape(b, seed_width)
+            si = up_ids[flat_pos]
+            sd, si = lax.sort((sd, si), dimension=1, num_keys=1)
+        else:
+            negd, pos = lax.top_k(-dmat, seed_width)
+            sd = -negd
+            si = up_ids[pos]
+        si = jnp.where(jnp.isinf(sd), -1, si)
         dcomp += jnp.sum((up_ids >= 0).astype(jnp.int32))
         seed_state = BeamState(sd, si, jnp.zeros_like(si))
     else:

@@ -35,14 +35,15 @@ def _timed_call(search_fn, queries, k):
     static_argnames=(
         "max_level", "threshold_level", "cap0", "cap", "ef", "k",
         "max_iters", "metric", "pop_width", "stages", "scan_width",
-        "seed_width",
+        "seed_width", "seed_strata",
     ),
 )
 def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
                      threshold_level, cap0, cap, ef, k, max_iters,
                      metric, pop_width=1, dense0=None, dense_up=None,
                      rank_up=None, allowed=None, stages=(), scan_width=0,
-                     seed_width=0, up_vecs=None, up_ids=None):
+                     seed_width=0, up_vecs=None, up_ids=None,
+                     seed_strata=0):
     return gs.chal_search(
         nbr, lvl_off, entry, vectors, vn, q,
         max_level=max_level, threshold_level=threshold_level,
@@ -59,6 +60,7 @@ def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
         seed_width=seed_width,
         up_vecs=up_vecs,
         up_ids=up_ids,
+        seed_strata=seed_strata,
     )
 
 
@@ -67,7 +69,7 @@ def _chal_search_jit(nbr, lvl_off, entry, vectors, vn, q, *, max_level,
     static_argnames=(
         "max_level", "threshold_level", "cap0", "cap", "ef_max", "k",
         "max_iters", "metric", "pop_width", "stages", "scan_width",
-        "seed_width",
+        "seed_width", "seed_strata",
     ),
 )
 def _chal_search_dyn_jit(nbr, lvl_off, entry, vectors, vn, q, ef_eff, *,
@@ -75,7 +77,7 @@ def _chal_search_dyn_jit(nbr, lvl_off, entry, vectors, vn, q, ef_eff, *,
                          max_iters, metric, pop_width=1, dense0=None,
                          dense_up=None, rank_up=None, stages=(),
                          scan_width=0, seed_width=0, up_vecs=None,
-                         up_ids=None):
+                         up_ids=None, seed_strata=0):
     return gs.chal_search(
         nbr, lvl_off, entry, vectors, vn, q,
         max_level=max_level, threshold_level=threshold_level,
@@ -92,6 +94,7 @@ def _chal_search_dyn_jit(nbr, lvl_off, entry, vectors, vn, q, ef_eff, *,
         seed_width=seed_width,
         up_vecs=up_vecs,
         up_ids=up_ids,
+        seed_strata=seed_strata,
     )
 
 
@@ -393,6 +396,7 @@ class HnswSlimIndex:
                 stages=stages, scan_width=self.scfg.scan_width,
                 seed_width=self.scfg.seed_width,
                 up_vecs=up_vecs, up_ids=up_ids,
+                seed_strata=self.scfg.seed_strata,
             )
             # ONE device->host transfer for all four outputs: each separate
             # np.asarray is a ~30 ms sync round-trip on this tunnel (the
@@ -424,6 +428,7 @@ class HnswSlimIndex:
             stages=stages, scan_width=self.scfg.scan_width,
             seed_width=self.scfg.seed_width,
             up_vecs=up_vecs, up_ids=up_ids,
+            seed_strata=self.scfg.seed_strata,
         )
         # ONE device->host transfer (see dynamic_ef branch note)
         d, i, hops, dcomp = jax.device_get(out)

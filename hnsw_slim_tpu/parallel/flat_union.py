@@ -120,6 +120,27 @@ class FlatUnionIndex:
         slim.vectors = self.vectors
         slim.vn = self.vn
         self._slim = slim
+        # shard-stratified exact-seed table: per-shard segments of equal
+        # padded width U so the kernel can take top-(seed_width/S) PER
+        # SHARD (seed_strata) — a union of disconnected components is only
+        # reachable through seeds. Built host-side once; the vectors slice
+        # reuses the (possibly bf16) store.
+        lv = np.asarray(self.graph.level)
+        s = len(self.entries)
+        n_per = len(lv) // s
+        per = [
+            np.nonzero(lv[i * n_per: (i + 1) * n_per] >= 1)[0] + i * n_per
+            for i in range(s)
+        ]
+        u = max(64, 1 << max(0, max(len(p) for p in per) - 1).bit_length())
+        idp = np.full((s, u), -1, np.int32)
+        for i, p in enumerate(per):
+            idp[i, : len(p)] = p
+        idp = idp.reshape(-1)
+        slim.up_ids = jnp.asarray(idp)
+        slim.up_vecs = self.vectors[jnp.asarray(np.maximum(idp, 0))]
+        slim._up_for = id(self.graph)
+        self._strata = s
 
     def densify_level0(self) -> int:
         self._slim.scfg = self.scfg
@@ -154,12 +175,25 @@ class FlatUnionIndex:
         return self.graph.chal_bytes()
 
     def search(self, queries: np.ndarray, k: int):
-        """Replicate each query per shard (its own entry point), search the
-        union graph in one batched kernel, merge per-shard top-k."""
+        """Search the union graph. With scfg.seed_width > 1 each query runs
+        ONCE: the exact-seed matmul over the union's whole upper layer picks
+        top-seed_width entries ACROSS shards (cross-shard multi-entry), so
+        the S-way query replication below — and its ~S x cost — disappears.
+        With seed_width == 0, replicate each query per shard with that
+        shard's entry point and merge per-shard top-k (reference-semantics
+        fallback; each shard is a separate graph component)."""
         q = np.asarray(queries, np.float32)
         b = q.shape[0]
         s = len(self.entries)
         self._slim.scfg = self.scfg
+        if self.scfg.seed_width > 1:
+            self._slim.scfg = dataclasses.replace(
+                self.scfg, seed_strata=self._strata
+            )
+            d, i = self._slim.search(q, k=k)
+            self.last_stats = self._slim.last_stats
+            gi = np.where(i >= 0, self.gids[np.maximum(i, 0)], -1)
+            return np.asarray(d), gi
         qr = np.repeat(q, s, axis=0)  # [b*s, d]: query-major, shard-minor
         entry = jnp.asarray(np.tile(self.entries, b))
         d, i = self._slim.search(qr, k=k, entry=entry)

@@ -59,13 +59,35 @@ def main():
     queries = np.concatenate([q_a, q_b])
     print(f"data: {time.time()-t0:.0f}s", flush=True)
 
+    def load_npz_shard(path, vecs):
+        """Host-side npz shard (TPU-self-built set, build_8m_shards_tpu.py):
+        a ChalGraph over numpy arrays — FlatUnionIndex assembly reads
+        host arrays, so no per-shard device upload."""
+        import json as _json
+        import types
+
+        from hnsw_slim_tpu.graph.types import ChalGraph
+
+        with np.load(path) as z:
+            meta = _json.loads(bytes(z["meta"].tobytes()).decode())
+            g = ChalGraph(
+                nbr=z["nbr"], lvl_off=z["lvl_off"], level=z["level"],
+                entry=np.int32(meta["entry"]), max_level=meta["max_level"],
+                threshold_level=meta["threshold_level"],
+                cap0=meta["cap0"], cap=meta["cap"],
+            )
+        return types.SimpleNamespace(graph=g, vectors=vecs)
+
     shards = []
     for out, base, off in ((OUT_A, base_a, 0), (OUT_B, base_b, NH)):
         for si in range(S):
             gids = np.arange(si, NH, S, dtype=np.int64) + off
             t1 = time.time()
-            idx = slim_index_from_ref(
-                f"{out}/shard{si}.slimgraph", base[si::S], upload=False)
+            gpath = f"{out}/shard{si}.slimgraph"
+            if os.path.exists(gpath):
+                idx = slim_index_from_ref(gpath, base[si::S], upload=False)
+            else:
+                idx = load_npz_shard(f"{out}/shard{si}.npz", base[si::S])
             print(f"{out.rsplit('/', 1)[1]}/shard{si}: {time.time()-t1:.0f}s",
                   flush=True)
             shards.append((idx, gids.astype(np.int64)))
@@ -99,25 +121,36 @@ def main():
         write_ivecs(GT_PATH, gt.astype(np.int32))
         print(f"brute-force GT over 16M: {time.time()-t0:.0f}s", flush=True)
 
+    import dataclasses
+
     results = {}
-    for ef in (32, 64, 96):
-        tune = uni.autotune(ef)
-        print(f"  autotune ef={ef}: {tune['knobs']}", flush=True)
-        _, ids = uni.search(queries, k=10)
-        times = []
-        for _ in range(3):
-            t1 = time.perf_counter()
-            uni.search(queries, k=10)
-            times.append(time.perf_counter() - t1)
-        r = recall(np.asarray(ids), gt)
-        qps = NQ / min(times)
-        results[ef] = (round(r, 4), round(qps))
-        print(f"16m bf16 union ef={ef}: recall@10={r:.4f} qps={qps:.0f}",
-              flush=True)
+    for mode, seed in (("seed32", 32), ("rep", 0)):
+        # seeded: ONE query instance + shard-stratified exact seeds over
+        # the union upper layer (2 per shard at seed=32/S=16); rep: the
+        # S-way per-shard replication fallback (S x the search work)
+        uni._autotune_cache = {}
+        uni.scfg = dataclasses.replace(uni.scfg, seed_width=seed)
+        for ef in (32, 64, 96):
+            uni.scfg = dataclasses.replace(uni.scfg, ef=ef)
+            tune = uni.autotune(ef)
+            print(f"  autotune {mode} ef={ef}: {tune['knobs']}", flush=True)
+            uni.scfg = dataclasses.replace(
+                uni.scfg, **tune["knobs"], seed_width=seed)
+            _, ids = uni.search(queries, k=10)
+            times = []
+            for _ in range(3):
+                t1 = time.perf_counter()
+                uni.search(queries, k=10)
+                times.append(time.perf_counter() - t1)
+            r = recall(np.asarray(ids), gt)
+            qps = NQ / min(times)
+            results[f"{mode}_{ef}"] = (round(r, 4), round(qps))
+            print(f"16m bf16 union {mode} ef={ef}: recall@10={r:.4f} "
+                  f"qps={qps:.0f}", flush=True)
     print(json.dumps({
         "mode": "union_16m_bf16", "hbm_gb": uni.hbm_bytes() / 1e9,
         "graph_mb": uni.index_size() / 1e6,
-        "points": {str(e): list(v) for e, v in results.items()},
+        "points": {k: list(v) for k, v in results.items()},
     }), flush=True)
 
 

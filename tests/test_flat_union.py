@@ -50,3 +50,23 @@ def test_flat_union_recall_and_merge():
     want = np.take_along_axis(cat_i, order, 1)
     agree = (want == i).mean()
     assert agree > 0.98, agree
+
+    # seeded single-instance path: one query instance, shard-stratified
+    # exact seeds over the union upper layer — no S-way replication. On
+    # 600-node shards the upper layer is a ~2% sample, so the shared-buffer
+    # bound can starve far shards (lazy exploration has no per-shard
+    # guarantee) — this test pins mechanism correctness (global-id results,
+    # exact distances, sane recall); the throughput/recall trade at scale
+    # is measured on the 8M/16M sets (scripts/serve_8m.py, serve_16m.py)
+    # where the upper layer is a ~6% sample per shard.
+    import dataclasses
+
+    uni.scfg = dataclasses.replace(uni.scfg, seed_width=16)
+    d2, i2 = uni.search(queries, k=5)
+    rec2 = sum(len(set(a.tolist()) & set(b.tolist()))
+               for a, b in zip(i2, gt)) / gt.size
+    assert rec2 >= 0.5, rec2
+    ok = i2 >= 0
+    assert ok.all()
+    dx2 = ((queries[:, None, :] - base[i2]) ** 2).sum(-1)
+    np.testing.assert_allclose(d2, dx2, rtol=1e-3, atol=1e-3)
