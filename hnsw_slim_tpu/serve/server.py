@@ -158,6 +158,9 @@ class SlimServer:
         )
         self.pending_writer: patchlib.PatchWriter | None = None
         self.patch_chunk_bytes = patch_chunk_bytes
+        # cumulative /query phase costs (reference hnsw_server.cc:41-95)
+        self.query_cost = {"parse": 0.0, "search": 0.0, "serialize": 0.0,
+                           "resp": 0.0, "n": 0}
         self.host, self.port = host, port
         self._httpd = None
 
@@ -397,16 +400,40 @@ class SlimServer:
             def do_POST(self):
                 try:
                     if self.path == "/query":
+                        # per-phase counters, reference hnsw_server.cc:41-95
+                        # (parse/search/resp/serialize; cumulative print
+                        # every 10k queries)
+                        import time as _t
+
+                        t0 = _t.perf_counter()
                         req = query_pb2.QueryRequest()
                         req.ParseFromString(self._body())
+                        t1 = _t.perf_counter()
                         d, i = server.query(
                             np.asarray(req.vector, np.float32), req.k or 10
                         )
+                        t2 = _t.perf_counter()
                         resp = query_pb2.QueryResponse(
                             labels=[int(x) for x in i],
                             distances=[float(x) for x in d],
                         )
-                        self._send(resp.SerializeToString())
+                        blob = resp.SerializeToString()
+                        t3 = _t.perf_counter()
+                        self._send(blob)
+                        c = server.query_cost
+                        c["parse"] += t1 - t0
+                        c["search"] += t2 - t1
+                        c["serialize"] += t3 - t2
+                        c["resp"] += _t.perf_counter() - t3
+                        c["n"] += 1
+                        if c["n"] % 10000 == 0:
+                            print(
+                                f"query {c['n']}: parse={c['parse']:.2f}s "
+                                f"search={c['search']:.2f}s "
+                                f"serialize={c['serialize']:.2f}s "
+                                f"resp={c['resp']:.2f}s (cumulative)",
+                                flush=True,
+                            )
                     elif self.path == "/setEf":
                         req = query_pb2.SetEfRequest()
                         req.ParseFromString(self._body())
