@@ -126,7 +126,10 @@ def main():
 
     idx.densify_level0()
     idx.densify_upper()
-    idx.scfg = dataclasses.replace(idx.scfg, straggler_stages=(2, 8, 32))
+    idx.scfg = dataclasses.replace(
+        idx.scfg, straggler_stages=(2, 8, 32),
+        seed_width=int(os.environ.get("MQ_SEED", 32)),
+    )
     points = {}
     for rerank in (True, False):
         if not rerank and os.environ.get("MQ_EST", "1") == "0":
