@@ -18,8 +18,15 @@ import jax.numpy as jnp
 F32 = jnp.float32
 
 
+@jax.jit
 def sq_norms(x: jnp.ndarray) -> jnp.ndarray:
-    """‖x‖² per row: f32[N]."""
+    """‖x‖² per row: f32[N].
+
+    Jitted so the f32 upcast fuses into the reduction: dispatched eagerly,
+    ``x.astype(f32)`` materializes a full-size f32 copy — 8.2 GB for a
+    16M x 128 bf16 store, which OOMs a 16 GB chip during union assembly
+    (round-5 16M serve). Fused, peak extra HBM is O(output) = 4 bytes/row.
+    """
     return jnp.sum(x.astype(F32) * x.astype(F32), axis=-1)
 
 
