@@ -807,8 +807,25 @@ def chal_search(
             u = up_ids.shape[0] // seed_strata
             sps = max(1, seed_width // seed_strata)
             seed_width = sps * seed_strata
-            negd, pos = lax.top_k(-dmat.reshape(b, seed_strata, u), sps)
-            sd = (-negd).reshape(b, seed_width)
+            # top-sps per stratum via sps fused argmin/min passes, NOT
+            # lax.top_k: top_k lowers to a full stable sort whose f32+s32
+            # temps are 2x the dmat bytes — 8 GB extra HBM at 16M
+            # (b=1024 x 16 strata x 65536 padded upper rows), which killed
+            # the round-5 16M serve compile. sps is tiny (seed_width/strata,
+            # 2 at 16M), so k max-reduce passes fuse into the where-chain
+            # and materialize nothing beyond dmat itself.
+            d3 = dmat.reshape(b, seed_strata, u)
+            iot_u = jnp.arange(u, dtype=jnp.int32)
+            sds, poss = [], []
+            for _ in range(sps):
+                am = jnp.argmin(d3, axis=2)  # [b, strata]
+                sds.append(jnp.min(d3, axis=2))
+                poss.append(am)
+                d3 = jnp.where(
+                    iot_u[None, None, :] == am[:, :, None], INF, d3
+                )
+            sd = jnp.stack(sds, axis=2).reshape(b, seed_width)
+            pos = jnp.stack(poss, axis=2)  # [b, strata, sps]
             flat_pos = (
                 pos + (jnp.arange(seed_strata, dtype=jnp.int32) * u)[
                     None, :, None]
