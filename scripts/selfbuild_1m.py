@@ -30,6 +30,10 @@ STRATEGY = os.environ.get("SB_STRATEGY", "nnd")  # nnd | insert
 MAXBATCH = int(os.environ.get("SB_MAXBATCH", 4096))
 EFC = int(os.environ.get("SB_EFC", 128))
 M = int(os.environ.get("SB_M", 30))
+# SB_SEED: exact-seed multi-entry width at serve time (r5 kernel; 0 = greedy
+# descent). SB_FRESH=1 ignores the build cache — for min-of-3 build clocks.
+SEED = int(os.environ.get("SB_SEED", 32))
+FRESH = os.environ.get("SB_FRESH") == "1"
 
 
 def main():
@@ -59,7 +63,7 @@ def main():
         if (MAXBATCH, EFC, M) != (4096, 128, 30) else STRATEGY
     cache = f"/root/repo/.bench_cache/selfbuild_{N}_{tag}.npz"
     t0 = time.perf_counter()
-    if os.path.exists(cache):
+    if os.path.exists(cache) and not FRESH:
         h = load_hnsw(cache)
         t_build = float(open(cache + ".time").read())
         print(f"{tag} build: cached ({t_build:.1f}s original)", flush=True)
@@ -83,8 +87,10 @@ def main():
         idx.densify_level0()
 
     points = {}
-    idx.scfg = dataclasses.replace(idx.scfg, straggler_stages=(4, 16))
-    for ef in (64, 96, 128, 192, 256, 384):
+    idx.scfg = dataclasses.replace(idx.scfg, straggler_stages=(4, 16),
+                                   seed_width=SEED)
+    efs = (48, 64, 96, 128, 192) if SEED > 1 else (64, 96, 128, 192, 256, 384)
+    for ef in efs:
         tune = idx.autotune(ef)
         print(f"  autotune ef={ef}: {tune['knobs']}", flush=True)
         _, ids = idx.search(queries, k=10)  # compile + warm

@@ -52,11 +52,24 @@ def main():
     from hnsw_slim_tpu.utils.io import read_ivecs, write_ivecs
 
     t0 = time.time()
-    base_a, q_a = clustered(NH, DIM, n_queries=NQ // 2,
-                            n_clusters=NH // 1000, seed=7, scale=0.3)
-    base_b, q_b = clustered(NH, DIM, n_queries=NQ // 2,
-                            n_clusters=NH // 1000, seed=11, scale=0.3)
-    queries = np.concatenate([q_a, q_b])
+    # file-backed corpus cache: regeneration is ~5 min of host RNG each run
+    # and one round-5 run degenerated into a kernel page-zeroing storm
+    # (minor-fault churn, ~20x slowdown); mmap'd npy reads sidestep both
+    cdir = "/root/repo/.bench_cache/corpus16m"
+    os.makedirs(cdir, exist_ok=True)
+    if not os.path.exists(f"{cdir}/q.npy"):
+        base_a, q_a = clustered(NH, DIM, n_queries=NQ // 2,
+                                n_clusters=NH // 1000, seed=7, scale=0.3)
+        np.save(f"{cdir}/base_a.npy", base_a)
+        base_b, q_b = clustered(NH, DIM, n_queries=NQ // 2,
+                                n_clusters=NH // 1000, seed=11, scale=0.3)
+        np.save(f"{cdir}/base_b.npy", base_b)
+        np.save(f"{cdir}/q.npy", np.concatenate([q_a, q_b]))
+        del base_a, base_b, q_a, q_b
+        gc.collect()
+    base_a = np.load(f"{cdir}/base_a.npy", mmap_mode="r")
+    base_b = np.load(f"{cdir}/base_b.npy", mmap_mode="r")
+    queries = np.load(f"{cdir}/q.npy")
     print(f"data: {time.time()-t0:.0f}s", flush=True)
 
     def load_npz_shard(path, vecs):
